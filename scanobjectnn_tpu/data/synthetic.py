@@ -1,0 +1,89 @@
+"""Synthetic dataset fixtures.
+
+The reference has no test fixtures at all (SURVEY.md §4) — its integration test
+is "run the benchmark".  We manufacture tiny, class-separable point-cloud
+datasets in the exact h5 container layout so end-to-end training tests can
+assert learning progress in seconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["make_synthetic_dataset", "write_synthetic_h5"]
+
+_PROTOTYPES = {
+    0: "sphere",
+    1: "cube",
+    2: "plane",
+    3: "line",
+    4: "two_clusters",
+}
+
+
+def _sample_prototype(kind: str, n: int, rng: np.random.RandomState) -> np.ndarray:
+    if kind == "sphere":
+        v = rng.randn(n, 3)
+        return v / np.linalg.norm(v, axis=1, keepdims=True)
+    if kind == "cube":
+        return rng.uniform(-1, 1, (n, 3))
+    if kind == "plane":
+        p = rng.uniform(-1, 1, (n, 3))
+        p[:, 2] *= 0.05
+        return p
+    if kind == "line":
+        t = rng.uniform(-1, 1, (n, 1))
+        return np.concatenate([t, 0.1 * rng.randn(n, 2)], axis=1)
+    if kind == "two_clusters":
+        c = rng.randint(0, 2, n) * 2.0 - 1.0
+        return 0.25 * rng.randn(n, 3) + np.stack([c, c, np.zeros(n)], axis=1) * 0.8
+    raise ValueError(kind)
+
+
+def make_synthetic_dataset(
+    num_per_class: int = 8,
+    num_classes: int = 4,
+    num_points: int = 128,
+    seed: int = 0,
+    with_mask: bool = False,
+    with_parts: bool = False,
+):
+    """Class-separable clouds: ``(data[B,N,3], label[B][, mask][, parts])``.
+
+    With ``with_mask``, ~25% of points are replaced by far-away "background"
+    points with mask=-1 (foreground keeps its raw mask id >= 0), matching the
+    h5 mask convention (-1 == background, training_data/README.md FAQ #5).
+    """
+    assert num_classes <= len(_PROTOTYPES)
+    rng = np.random.RandomState(seed)
+    data, labels, masks, parts = [], [], [], []
+    for label in range(num_classes):
+        for _ in range(num_per_class):
+            pc = _sample_prototype(_PROTOTYPES[label], num_points, rng).astype(np.float32)
+            mask = rng.randint(0, 3, num_points).astype(np.int64)
+            part = rng.randint(0, 3, num_points).astype(np.int64)
+            if with_mask:
+                n_bg = num_points // 4
+                bg_idx = rng.choice(num_points, n_bg, replace=False)
+                pc[bg_idx] = rng.uniform(2.0, 3.0, (n_bg, 3)).astype(np.float32)
+                mask[bg_idx] = -1
+            data.append(pc)
+            labels.append(label)
+            masks.append(mask)
+            parts.append(part)
+    out = [np.stack(data), np.array(labels, dtype=np.int64)]
+    if with_mask:
+        out.append(np.stack(masks))
+    if with_parts:
+        out.append(np.stack(parts))
+    return tuple(out)
+
+
+def write_synthetic_h5(path: str, **kwargs) -> None:
+    from scanobjectnn_tpu.data import io
+
+    arrays = make_synthetic_dataset(**kwargs)
+    data, label = arrays[0], arrays[1]
+    mask = arrays[2] if kwargs.get("with_mask") else None
+    parts = arrays[-1] if kwargs.get("with_parts") else None
+    io.save_h5(path, data, label, mask=mask, parts=parts)

@@ -1,0 +1,96 @@
+"""Farthest point sampling, point gathering, categorical sampling.
+
+Behavioral reference: /root/reference/pointnet2/tf_ops/sampling/
+(`tf_sampling_g.cu:105-170` FPS, `:172-181` gather, `:7-104` prob sample;
+wrappers `tf_sampling.py:14-58`).  Semantics kept exactly:
+
+  * FPS is deterministic and always seeds with point index 0
+    (tf_sampling_g.cu:115-116), carries a per-point min-squared-distance
+    array initialized to 1e38, and each step argmax-selects the point whose
+    min distance to the selected set is largest; ties go to the lowest index
+    (the CUDA tree reduction prefers the lower lane on ties, and
+    ``jnp.argmax`` picks the first occurrence).
+  * ``gather_point`` has a scatter-add gradient (tf_sampling_g.cu:183-192);
+    here the gather is a ``take_along_axis`` whose autodiff transpose IS a
+    scatter-add.
+  * FPS itself has no gradient (``NoGradient``, tf_sampling.py:58) — we
+    stop_gradient the indices.
+
+TPU notes: FPS is inherently sequential over npoint steps; each step is an
+[B, N] elementwise min + argmax, pure VPU work that XLA keeps in
+registers/VMEM under ``lax.scan``.  A fused Pallas variant lives in
+ops/pallas/fps_kernel.py and is dispatched for large N.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["farthest_point_sample", "gather_point", "prob_sample"]
+
+
+@partial(jax.jit, static_argnums=1)
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Iterative farthest point sampling.
+
+    Args:
+      xyz: [B, N, 3] point coordinates.
+      npoint: number of points to select (static).
+
+    Returns:
+      idx: [B, npoint] int32 indices into N.
+    """
+    if npoint < 1:
+        raise ValueError("npoint must be >= 1")
+    b, n, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+
+    def step(carry, _):
+        min_dist, last = carry  # [B, N], [B]
+        p = jnp.take_along_axis(xyz, last[:, None, None], axis=1)  # [B, 1, 3]
+        d = jnp.sum(jnp.square(xyz - p), axis=-1)  # [B, N]
+        min_dist = jnp.minimum(min_dist, d)
+        nxt = jnp.argmax(min_dist, axis=1).astype(jnp.int32)  # first max on ties
+        return (min_dist, nxt), nxt
+
+    init = (jnp.full((b, n), 1e38, jnp.float32), jnp.zeros((b,), jnp.int32))
+    if npoint == 1:
+        idx = jnp.zeros((b, 1), jnp.int32)
+    else:
+        (_, _), rest = lax.scan(step, init, None, length=npoint - 1)
+        idx = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), rest.T], axis=1)
+    return lax.stop_gradient(idx)
+
+
+def gather_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather selected points: [B, N, C], [B, M] -> [B, M, C].
+
+    Differentiable in ``points``; the VJP is a scatter-add, matching
+    GatherPointGrad (tf_sampling_g.cu:183-192, tf_sampling.py:44-48).
+    """
+    c = points.shape[-1]
+    return jnp.take_along_axis(points, idx[..., None].repeat(c, axis=-1), axis=1)
+
+
+def prob_sample(cumprob: jnp.ndarray, uniforms: jnp.ndarray) -> jnp.ndarray:
+    """Weighted categorical sampling by binary search into a CDF.
+
+    Args:
+      cumprob: [B, N] inclusive cumulative probabilities (last entry ~1).
+      uniforms: [B, M] uniform samples in [0, 1).
+
+    Returns:
+      idx: [B, M] int32 sampled category per draw.
+
+    Reference: ProbSample = block cumsum + binary search
+    (tf_sampling_g.cu:7-104, tf_sampling.py:14-23; the wrapper takes the
+    *unnormalized* pdf and cumsums on device — callers here pass the CDF,
+    use ``jnp.cumsum`` beforehand).
+    """
+    find = jax.vmap(lambda cdf, u: jnp.searchsorted(cdf, u, side="left"))
+    idx = find(cumprob, uniforms)
+    return jnp.minimum(idx, cumprob.shape[-1] - 1).astype(jnp.int32)

@@ -1,0 +1,140 @@
+"""Ball query, grouping, and k-nearest-neighbors.
+
+Behavioral reference: /root/reference/pointnet2/tf_ops/grouping/
+(`tf_grouping_g.cu:3-36` query_ball_point, `:40-78` group_point (+ atomicAdd
+gradient), `:83-123` selection sort; python wrappers `tf_grouping.py:9-74`)
+and DGCNN's dense-matrix kNN (`dgcnn/utils/tf_util.py:638-680`).
+
+Exact semantics preserved:
+  * Ball query takes the FIRST ``nsample`` points (in original point order)
+    with ``max(dist, 1e-20) < radius``; on the first hit the whole row is
+    pre-filled with that index so under-full balls repeat the first hit
+    (tf_grouping_g.cu:26-29).  ``pts_cnt`` is the capped hit count.  (The CUDA
+    kernel leaves rows with zero hits uninitialized — undefined behavior; we
+    define them as index 0.)
+  * ``knn_point`` returns the k smallest distances in ascending order with
+    ties broken toward lower index (the reference's partial selection sort,
+    tf_grouping_g.cu:83-123; ``lax.top_k`` has the same first-occurrence tie
+    rule).
+  * ``group_point`` gathers and its autodiff VJP is the reference's
+    scatter-add gradient.
+
+TPU notes: pairwise distances use the -2·x·yᵀ + |x|² + |y|² expansion so the
+inner product rides the MXU; the rank-of-hit selection is a cumsum + counting
+comparison that XLA fuse-reduces without materializing the [B,M,N,K]
+comparison tensor.  Blocked Pallas kNN for large N lives in
+ops/pallas/knn_kernel.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "pairwise_squared_distance",
+    "query_ball_point",
+    "group_point",
+    "knn_point",
+    "knn_graph",
+]
+
+
+def pairwise_squared_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances [..., M, N] between a:[..., M, C] and
+    b:[..., N, C], computed as |a|² - 2a·bᵀ + |b|² (MXU-friendly).
+
+    Cancellation in the expansion leaves ~1e-7 absolute error near zero (the
+    CUDA kernels' (a-b)² formulation is exact there), so self-distances are
+    not exactly 0; irrelevant at the benchmark's radii (0.1-0.8) but ball
+    queries with radius < ~1e-3 can differ from the reference.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    inner = jnp.einsum("...mc,...nc->...mn", a, b, preferred_element_type=jnp.float32)
+    aa = jnp.sum(jnp.square(a), axis=-1)[..., :, None]
+    bb = jnp.sum(jnp.square(b), axis=-1)[..., None, :]
+    return jnp.maximum(aa - 2.0 * inner + bb, 0.0)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def query_ball_point(
+    radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-radius neighborhood query.
+
+    Args:
+      radius: ball radius (static).
+      nsample: max points per ball (static).
+      xyz: [B, N, 3] all points.
+      new_xyz: [B, M, 3] query centers.
+
+    Returns:
+      idx: [B, M, nsample] int32 indices into N (first-nsample-in-order,
+        padded by repeating the first hit).
+      pts_cnt: [B, M] int32 number of unique hits (capped at nsample).
+    """
+    d2 = pairwise_squared_distance(new_xyz, xyz)  # [B, M, N]
+    d = jnp.maximum(jnp.sqrt(d2), 1e-20)
+    hit = d < radius  # [B, M, N]
+
+    csum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)  # [B, M, N]
+    cnt_total = csum[..., -1]  # [B, M]
+    pts_cnt = jnp.minimum(cnt_total, nsample)
+
+    # Index of the k-th hit (0-based k) = #positions with csum < k+1; csum is
+    # nondecreasing and increments exactly at hits, so this is a rank count.
+    targets = jnp.arange(1, nsample + 1, dtype=jnp.int32)  # [K]
+    idx = jnp.sum(
+        (csum[..., None] < targets).astype(jnp.int32), axis=-2, dtype=jnp.int32
+    )  # [B, M, K]
+
+    first_hit = jnp.where(cnt_total > 0, idx[..., 0], 0)  # [B, M]
+    k_range = jnp.arange(nsample, dtype=jnp.int32)
+    valid = k_range[None, None, :] < cnt_total[..., None]
+    idx = jnp.where(valid, idx, first_hit[..., None])
+    return idx.astype(jnp.int32), pts_cnt.astype(jnp.int32)
+
+
+def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Grouped gather: [B, N, C], [B, M, K] -> [B, M, K, C].
+
+    Differentiable in ``points`` (VJP = scatter-add, matching
+    GroupPointGrad's atomicAdd kernel tf_grouping_g.cu:61-78).
+    """
+    b, n, c = points.shape
+    _, m, k = idx.shape
+    flat_idx = idx.reshape(b, m * k)
+    gathered = jnp.take_along_axis(
+        points, flat_idx[..., None].repeat(c, axis=-1), axis=1
+    )
+    return gathered.reshape(b, m, k, c)
+
+
+@partial(jax.jit, static_argnums=0)
+def knn_point(
+    k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest points in ``xyz`` for each query in ``new_xyz``.
+
+    Returns ``(dist[B, M, k], idx[B, M, k])`` with SQUARED distances in
+    ascending order (the reference's selection sort operates on the squared
+    distance matrix built in tf_grouping.py:49-74).
+    """
+    d2 = pairwise_squared_distance(new_xyz, xyz)  # [B, M, N]
+    neg_vals, idx = lax.top_k(-d2, k)
+    return -neg_vals, idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=1)
+def knn_graph(features: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Self-kNN over a feature cloud [B, N, C] -> idx [B, N, k], INCLUDING the
+    self edge as the nearest neighbor (DGCNN recomputes this per layer from
+    feature space; dgcnn/utils/tf_util.py:638-680 takes top_k of the negated
+    dense distance matrix, so each point's first neighbor is itself)."""
+    d2 = pairwise_squared_distance(features, features)
+    _, idx = lax.top_k(-d2, k)
+    return idx.astype(jnp.int32)

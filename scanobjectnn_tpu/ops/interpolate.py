@@ -1,0 +1,67 @@
+"""Three-nearest-neighbor inverse-distance interpolation (the FP decoder's
+upsampling primitive).
+
+Behavioral reference: /root/reference/pointnet2/tf_ops/3d_interpolation/
+(`tf_interpolate.cpp:57-80` three_nn, `:82-130` three_interpolate + gradient
+`:222-262`; wrappers `tf_interpolate.py:9-35`).  Note the reference registers
+these as **CPU kernels**, so in TF the FP decoder silently round-trips
+device→host→device mid-graph (SURVEY.md §3.2).  Here everything stays fused
+on-device.
+
+Semantics preserved: distances are SQUARED euclidean (the CPU kernel stores
+``d = Σ(Δ)²`` without sqrt); callers floor them at 1e-10 before inverting
+(pointnet_util.py:211-214).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from scanobjectnn_tpu.ops.grouping import pairwise_squared_distance
+
+__all__ = ["three_nn", "three_interpolate", "three_interpolate_weights"]
+
+
+def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each of the N query points in ``xyz1`` [B, N, 3], the squared
+    distances and indices of its 3 nearest points in ``xyz2`` [B, M, 3].
+
+    Returns ``(dist[B, N, 3], idx[B, N, 3])``, ascending by distance.
+    """
+    d2 = pairwise_squared_distance(xyz1, xyz2)  # [B, N, M]
+    neg_vals, idx = lax.top_k(-d2, 3)
+    return lax.stop_gradient(-neg_vals), lax.stop_gradient(idx.astype(jnp.int32))
+
+
+def three_interpolate_weights(dist: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-distance weights from squared 3-NN distances, with the
+    reference's 1e-10 floor (pointnet_util.py:211-214)."""
+    dist = jnp.maximum(dist, 1e-10)
+    inv = 1.0 / dist
+    return inv / jnp.sum(inv, axis=-1, keepdims=True)
+
+
+def three_interpolate(
+    points: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """Weighted 3-point feature interpolation.
+
+    Args:
+      points: [B, M, C] features at the sparse point set.
+      idx: [B, N, 3] int32 indices into M.
+      weight: [B, N, 3] interpolation weights.
+
+    Returns:
+      [B, N, C] interpolated features.  Differentiable in ``points`` and
+      ``weight`` (the points-VJP is the reference's scatter-add
+      ThreeInterpolateGrad, tf_interpolate.cpp:222-262).
+    """
+    b, n, _ = idx.shape
+    c = points.shape[-1]
+    flat_idx = idx.reshape(b, n * 3)
+    gathered = jnp.take_along_axis(
+        points, flat_idx[..., None].repeat(c, axis=-1), axis=1
+    ).reshape(b, n, 3, c)
+    return jnp.einsum("bnkc,bnk->bnc", gathered, weight.astype(gathered.dtype))

@@ -1,0 +1,122 @@
+"""Dataset layer tests: h5 round-trips, normalization, epoch sampling
+semantics (shared point permutation), mask co-sampling, PLY round-trip."""
+
+import numpy as np
+import pytest
+
+from scanobjectnn_tpu.data import io, mappings, pipeline, synthetic
+
+
+def test_h5_roundtrip(tmp_path):
+    data, label, mask = synthetic.make_synthetic_dataset(
+        num_per_class=2, num_classes=3, num_points=32, with_mask=True
+    )
+    path = str(tmp_path / "x.h5")
+    io.save_h5(path, data, label, mask=mask)
+    d2, l2, m2 = io.load_withmask_h5(path)
+    np.testing.assert_allclose(d2, data)
+    np.testing.assert_array_equal(l2, label)
+    np.testing.assert_array_equal(m2, mask)
+
+
+def test_center_and_normalize():
+    rng = np.random.RandomState(0)
+    pcs = rng.rand(4, 50, 3).astype(np.float32) * 3 + 1
+    centered = io.center_data(pcs)
+    np.testing.assert_allclose(centered.mean(axis=1), 0, atol=1e-5)
+    normed = io.normalize_data(centered)
+    norms = np.sqrt((normed**2).sum(-1)).max(axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_convert_to_binary_mask():
+    masks = np.array([[0, -1, 3], [-1, -1, 2]])
+    out = io.convert_to_binary_mask(masks)
+    np.testing.assert_array_equal(out, [[1, 0, 1], [0, 0, 1]])
+
+
+def test_epoch_sampler_shared_permutation():
+    """All clouds in an epoch must share ONE point permutation
+    (ref data_utils.py:171-186)."""
+    b, n = 6, 40
+    # Encode the point index in the coordinates so we can recover it.
+    data = np.tile(np.arange(n, dtype=np.float32)[None, :, None], (b, 1, 3))
+    labels = np.arange(b)
+    masks = np.tile(np.arange(n)[None], (b, 1))
+    s = pipeline.EpochSampler(data, labels, masks=masks, num_points=16, seed=0)
+    view = s.epoch()
+    pts = view["points"][..., 0].astype(int)
+    # Same permutation across all clouds:
+    assert (pts == pts[0]).all()
+    # Mask co-sampled with the same permutation:
+    np.testing.assert_array_equal(view["masks"], pts)
+    # Cloud order shuffled but label-consistent (labels encode original row).
+    assert set(view["labels"].tolist()) == set(range(b))
+
+
+def test_epoch_sampler_no_shuffle():
+    data = np.random.RandomState(0).rand(3, 20, 3).astype(np.float32)
+    labels = np.arange(3)
+    s = pipeline.EpochSampler(data, labels, num_points=8, shuffle=False)
+    view = s.epoch()
+    np.testing.assert_allclose(view["points"], data[:, :8])
+    np.testing.assert_array_equal(view["labels"], labels)
+
+
+def test_batches_drop_remainder():
+    view = {"points": np.zeros((10, 4, 3)), "labels": np.arange(10)}
+    batches = list(pipeline.Batches(view, batch_size=4))
+    assert len(batches) == 2
+    assert batches[0]["points"].shape == (4, 4, 3)
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    pts = rng.rand(17, 3).astype(np.float32)
+    colors = rng.rand(17, 3).astype(np.float32)
+    path = str(tmp_path / "x.ply")
+    io.save_ply(pts, path, colors=colors)
+    back = io.load_ply(path)
+    np.testing.assert_allclose(
+        np.stack([back["x"], back["y"], back["z"]], 1), pts, rtol=1e-6
+    )
+    assert back["red"].dtype == np.uint8
+
+
+def test_mappings_roundtrip():
+    for m40, scan in mappings.MODELNET_TO_OBJECTDATASET.items():
+        assert m40 in mappings.OBJECTDATASET_TO_MODELNET[scan]
+    preds = np.array([2, 4, 8, 0])
+    mapped = mappings.modelnet_pred_to_scanobjectnn(preds)
+    np.testing.assert_array_equal(mapped, [10, 8, 4, -1])
+    ok = mappings.is_correct_on_modelnet(np.array([4, 4, 3]), np.array([8, 32, 14]))
+    np.testing.assert_array_equal(ok, [True, True, True])
+    assert not mappings.is_correct_on_modelnet(np.array([4]), np.array([14]))[0]
+
+
+def test_bin_loader(tmp_path):
+    # Build a synthetic 11-float .bin object: 6 fg points (class 5) + 3 bg.
+    n = 9
+    rows = np.zeros((n, 11), dtype=np.float32)
+    rows[:, 0:3] = np.arange(n * 3).reshape(n, 3)
+    rows[:, -1] = [0, 1, 2, 5, 5, 5, 5, 5, 5]
+    raw = np.concatenate([[np.float32(n)], rows.flatten()]).astype(np.float32)
+    path = str(tmp_path / "obj.bin")
+    raw.tofile(path)
+    with_bg = io.load_pc_file(path, with_bg=True)
+    assert with_bg.shape == (n, 3)
+    no_bg = io.load_pc_file(path, with_bg=False)
+    assert no_bg.shape == (6, 3)
+    np.testing.assert_allclose(no_bg, rows[3:, 0:3])
+
+
+def test_split_parsing(tmp_path):
+    from scanobjectnn_tpu.data import splits
+
+    p = tmp_path / "split.txt"
+    p.write_text("a.bin\t0\nb.bin\t3\tt\nc.bin\t14\n")
+    entries = splits.load_split(str(p))
+    assert len(entries) == 3
+    train, test = splits.split_train_test(entries)
+    assert [e.filename for e in train] == ["a.bin", "c.bin"]
+    assert test[0].label == 3 and test[0].is_test

@@ -1,0 +1,166 @@
+"""Parity of the lax/XLA ops against golden numpy implementations of the
+reference CUDA/C++ kernel semantics (SURVEY.md §4 implication (a))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scanobjectnn_tpu import ops
+from tests import golden
+
+
+def _cloud(rng, b=3, n=64, scale=1.0):
+    return (rng.rand(b, n, 3).astype(np.float32) * 2 - 1) * scale
+
+
+class TestFPS:
+    def test_matches_golden(self, rng):
+        xyz = _cloud(rng, b=4, n=100)
+        got = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), 16))
+        want = golden.fps_golden(xyz, 16)
+        np.testing.assert_array_equal(got, want)
+
+    def test_starts_at_zero_and_unique(self, rng):
+        xyz = _cloud(rng, b=2, n=50)
+        idx = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), 10))
+        assert (idx[:, 0] == 0).all()
+        for row in idx:
+            assert len(set(row.tolist())) == 10
+
+    def test_npoint_one(self, rng):
+        xyz = _cloud(rng, b=2, n=8)
+        idx = np.asarray(ops.farthest_point_sample(jnp.asarray(xyz), 1))
+        assert idx.shape == (2, 1) and (idx == 0).all()
+
+
+class TestGather:
+    def test_matches_take(self, rng):
+        pts = _cloud(rng, b=2, n=32)
+        idx = rng.randint(0, 32, (2, 7)).astype(np.int32)
+        got = np.asarray(ops.gather_point(jnp.asarray(pts), jnp.asarray(idx)))
+        want = np.stack([pts[i][idx[i]] for i in range(2)])
+        np.testing.assert_allclose(got, want)
+
+    def test_grad_is_scatter_add(self, rng):
+        pts = jnp.asarray(_cloud(rng, b=1, n=8))
+        idx = jnp.asarray(np.array([[2, 2, 5]], dtype=np.int32))
+        g = jax.grad(lambda p: ops.gather_point(p, idx).sum())(pts)
+        expect = np.zeros((1, 8, 3))
+        expect[0, 2] = 2.0  # index 2 gathered twice -> gradient accumulates
+        expect[0, 5] = 1.0
+        np.testing.assert_allclose(np.asarray(g), expect)
+
+
+class TestQueryBall:
+    @pytest.mark.parametrize("radius,nsample", [(0.3, 8), (0.5, 4), (0.1, 16)])
+    def test_matches_golden(self, rng, radius, nsample):
+        xyz = _cloud(rng, b=3, n=48)
+        centers = np.stack([x[golden.fps_golden(xyz, 12)[i]] for i, x in enumerate([xyz[0], xyz[1], xyz[2]])])
+        got_idx, got_cnt = ops.query_ball_point(
+            radius, nsample, jnp.asarray(xyz), jnp.asarray(centers)
+        )
+        want_idx, want_cnt = golden.query_ball_golden(radius, nsample, xyz, centers)
+        np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)
+        np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+
+    def test_empty_ball_defined(self, rng):
+        # A far-away query center: golden CUDA leaves garbage; we define 0.
+        xyz = jnp.asarray(_cloud(rng, b=1, n=16))
+        far = jnp.full((1, 1, 3), 100.0)
+        idx, cnt = ops.query_ball_point(0.1, 4, xyz, far)
+        assert int(cnt[0, 0]) == 0
+        assert (np.asarray(idx) == 0).all()
+
+    def test_self_always_hits(self, rng):
+        xyz = jnp.asarray(_cloud(rng, b=2, n=32))
+        idx, cnt = ops.query_ball_point(0.05, 4, xyz, xyz)
+        assert (np.asarray(cnt) >= 1).all()
+
+
+class TestGroupPoint:
+    def test_matches_golden(self, rng):
+        pts = rng.rand(2, 24, 5).astype(np.float32)
+        idx = rng.randint(0, 24, (2, 6, 4)).astype(np.int32)
+        got = np.asarray(ops.group_point(jnp.asarray(pts), jnp.asarray(idx)))
+        want = golden.group_point_golden(pts, idx)
+        np.testing.assert_allclose(got, want)
+
+    def test_grad_matches_numeric(self, rng):
+        pts = jnp.asarray(rng.rand(1, 10, 3).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 10, (1, 4, 3)).astype(np.int32))
+        f = lambda p: jnp.sum(jnp.sin(ops.group_point(p, idx)))
+        g = jax.grad(f)(pts)
+        eps = 1e-3
+        for flat_i in [0, 7, 29]:
+            d = np.zeros(pts.size, np.float32)
+            d[flat_i] = eps
+            d = d.reshape(pts.shape)
+            num = (f(pts + d) - f(pts - d)) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(g).flatten()[flat_i], num, atol=1e-2)
+
+
+class TestKNN:
+    def test_matches_golden(self, rng):
+        xyz = _cloud(rng, b=2, n=40)
+        q = _cloud(rng, b=2, n=10)
+        got_d, got_i = ops.knn_point(5, jnp.asarray(xyz), jnp.asarray(q))
+        want_d, want_i = golden.knn_golden(5, xyz, q)
+        np.testing.assert_allclose(np.asarray(got_d), want_d, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_i), want_i)
+
+    def test_knn_graph_self_first(self, rng):
+        feats = jnp.asarray(rng.rand(2, 20, 8).astype(np.float32))
+        idx = np.asarray(ops.knn_graph(feats, 4))
+        np.testing.assert_array_equal(idx[..., 0], np.arange(20)[None].repeat(2, 0))
+
+
+class TestThreeNN:
+    def test_matches_golden(self, rng):
+        xyz1 = _cloud(rng, b=2, n=30)
+        xyz2 = _cloud(rng, b=2, n=12)
+        got_d, got_i = ops.three_nn(jnp.asarray(xyz1), jnp.asarray(xyz2))
+        want_d, want_i = golden.three_nn_golden(xyz1, xyz2)
+        np.testing.assert_allclose(np.asarray(got_d), want_d, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_i), want_i)
+
+    def test_interpolate_matches_golden(self, rng):
+        pts = rng.rand(2, 12, 6).astype(np.float32)
+        xyz1 = _cloud(rng, b=2, n=30)
+        xyz2 = _cloud(rng, b=2, n=12)
+        d, i = golden.three_nn_golden(xyz1, xyz2)
+        from scanobjectnn_tpu.ops.interpolate import three_interpolate_weights
+
+        w = np.asarray(three_interpolate_weights(jnp.asarray(d)))
+        got = np.asarray(ops.three_interpolate(jnp.asarray(pts), jnp.asarray(i), jnp.asarray(w)))
+        want = golden.three_interpolate_golden(pts, i, w)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_interpolate_gradcheck(self, rng):
+        """Mirrors tf_interpolate_op_test.py:5-22 (gradient of interpolation
+        w.r.t. the sparse features)."""
+        pts = jnp.asarray(rng.rand(1, 8, 4).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 8, (1, 16, 3)).astype(np.int32))
+        w = jax.nn.softmax(jnp.asarray(rng.rand(1, 16, 3).astype(np.float32)), axis=-1)
+        f = lambda p: jnp.sum(jnp.cos(ops.three_interpolate(p, idx, w)))
+        g = jax.grad(f)(pts)
+        eps = 1e-3
+        for flat_i in [0, 13, 31]:
+            d = np.zeros(pts.size, np.float32)
+            d[flat_i] = eps
+            d = d.reshape(pts.shape)
+            num = (f(pts + d) - f(pts - d)) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(g).flatten()[flat_i], num, atol=1e-2)
+
+
+class TestProbSample:
+    def test_inverse_cdf(self, rng):
+        probs = rng.rand(2, 10).astype(np.float32)
+        probs /= probs.sum(-1, keepdims=True)
+        cdf = np.cumsum(probs, axis=-1)
+        u = rng.rand(2, 1000).astype(np.float32)
+        idx = np.asarray(ops.prob_sample(jnp.asarray(cdf), jnp.asarray(u)))
+        assert idx.min() >= 0 and idx.max() < 10
+        # Empirical frequencies approximate the pdf.
+        freq = np.bincount(idx[0], minlength=10) / 1000
+        np.testing.assert_allclose(freq, probs[0], atol=0.06)
