@@ -1,0 +1,222 @@
+"""PointNet++ building blocks: set abstraction (SA), multi-scale grouping
+(MSG), and feature propagation (FP) modules.
+
+Behavioral reference: /root/reference/pointnet2/utils/pointnet_util.py
+(sample_and_group:22, sample_and_group_all:59, pointnet_sa_module:87,
+pointnet_sa_module_msg:156, pointnet_fp_module:199).
+
+TPU-native shape discipline: everything is [B, npoint, nsample, C] with the
+shared MLP as a Dense over the last axis (one big MXU matmul per layer) — no
+NCHW juggling; XLA picks layouts.  The reference's CPU-registered three_nn /
+three_interpolate (which bounce via host in TF, SURVEY.md §3.2) stay fused
+on-device here.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scanobjectnn_tpu import ops
+from scanobjectnn_tpu.nn.layers import MLP
+from scanobjectnn_tpu.ops.interpolate import three_interpolate_weights
+
+__all__ = [
+    "sample_and_group",
+    "sample_and_group_all",
+    "SAModule",
+    "SAModuleMSG",
+    "FPModule",
+]
+
+
+def sample_and_group(
+    npoint: int,
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    points: jnp.ndarray | None,
+    knn: bool = False,
+    use_xyz: bool = True,
+):
+    """FPS → neighborhood query → gather → center-subtract → concat-xyz
+    (ref pointnet_util.py:22-56).
+
+    Returns (new_xyz[B,np,3], new_points[B,np,ns,3+C], idx, grouped_xyz).
+    """
+    fps_idx = ops.farthest_point_sample(xyz, npoint)
+    new_xyz = ops.gather_point(xyz, fps_idx)
+    if knn:
+        _, idx = ops.knn_point(nsample, xyz, new_xyz)
+    else:
+        idx, _ = ops.query_ball_point(radius, nsample, xyz, new_xyz)
+    grouped_xyz = ops.group_point(xyz, idx)  # [B, np, ns, 3]
+    grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = ops.group_point(points, idx)
+        if use_xyz:
+            new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
+        else:
+            new_points = grouped_points
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points, idx, grouped_xyz
+
+
+def sample_and_group_all(xyz: jnp.ndarray, points: jnp.ndarray | None, use_xyz: bool = True):
+    """Single group containing every point, centroid (0,0,0)
+    (ref pointnet_util.py:59-85)."""
+    b, n, _ = xyz.shape
+    new_xyz = jnp.zeros((b, 1, 3), xyz.dtype)
+    idx = jnp.tile(jnp.arange(n, dtype=jnp.int32)[None, None, :], (b, 1, 1))
+    grouped_xyz = xyz[:, None, :, :]
+    if points is not None:
+        if use_xyz:
+            new_points = jnp.concatenate([xyz, points], axis=-1)
+        else:
+            new_points = points
+        new_points = new_points[:, None, :, :]
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points, idx, grouped_xyz
+
+
+class SAModule(nn.Module):
+    """PointNet Set Abstraction (ref pointnet_util.py:87-154).
+
+    mlp over grouped neighborhoods → pooling (max/avg/weighted_avg/
+    max_and_avg) → optional mlp2 on pooled features.
+    """
+
+    npoint: int | None
+    radius: float | None
+    nsample: int | None
+    mlp: Sequence[int]
+    mlp2: Sequence[int] | None = None
+    group_all: bool = False
+    pooling: str = "max"
+    knn: bool = False
+    use_xyz: bool = True
+    bn: bool = True
+    dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        points: jnp.ndarray | None,
+        train: bool = False,
+        bn_momentum=0.9,
+    ):
+        if self.group_all:
+            new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
+                xyz, points, self.use_xyz
+            )
+        else:
+            new_xyz, new_points, idx, grouped_xyz = sample_and_group(
+                self.npoint, self.radius, self.nsample, xyz, points, self.knn, self.use_xyz
+            )
+
+        new_points = MLP(
+            self.mlp, bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="mlp"
+        )(new_points, train=train, bn_momentum=bn_momentum)
+
+        if self.pooling == "max":
+            pooled = jnp.max(new_points, axis=2)
+        elif self.pooling == "avg":
+            pooled = jnp.mean(new_points, axis=2)
+        elif self.pooling == "weighted_avg":
+            # exp(-5·dist) weights over the neighborhood (ref :131-137)
+            dists = jnp.linalg.norm(grouped_xyz.astype(jnp.float32), axis=-1, keepdims=True)
+            w = jnp.exp(-dists * 5.0)
+            w = w / jnp.sum(w, axis=2, keepdims=True)
+            pooled = jnp.sum(new_points * w.astype(new_points.dtype), axis=2)
+        elif self.pooling == "max_and_avg":
+            pooled = jnp.concatenate(
+                [jnp.mean(new_points, axis=2), jnp.max(new_points, axis=2)], axis=-1
+            )
+        else:
+            raise ValueError(f"unknown pooling {self.pooling!r}")
+
+        if self.mlp2:
+            pooled = MLP(
+                self.mlp2, bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="mlp2"
+            )(pooled, train=train, bn_momentum=bn_momentum)
+        return new_xyz, pooled, idx
+
+
+class SAModuleMSG(nn.Module):
+    """Multi-scale grouping SA (ref pointnet_util.py:156-196): one FPS, a
+    ball query + MLP + max-pool per radius, concat over scales."""
+
+    npoint: int
+    radius_list: Sequence[float]
+    nsample_list: Sequence[int]
+    mlp_list: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    bn: bool = True
+    dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        points: jnp.ndarray | None,
+        train: bool = False,
+        bn_momentum=0.9,
+    ):
+        fps_idx = ops.farthest_point_sample(xyz, self.npoint)
+        new_xyz = ops.gather_point(xyz, fps_idx)
+        scale_feats = []
+        for i, (radius, nsample, mlp) in enumerate(
+            zip(self.radius_list, self.nsample_list, self.mlp_list)
+        ):
+            idx, _ = ops.query_ball_point(radius, nsample, xyz, new_xyz)
+            grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
+            if points is not None:
+                grouped = ops.group_point(points, idx)
+                if self.use_xyz:
+                    # MSG concatenates [points, xyz] — opposite order to SSG
+                    # (ref pointnet_util.py:176-177).
+                    grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
+            else:
+                grouped = grouped_xyz
+            feats = MLP(
+                mlp, bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                name=f"mlp_scale{i}",
+            )(grouped, train=train, bn_momentum=bn_momentum)
+            scale_feats.append(jnp.max(feats, axis=2))
+        return new_xyz, jnp.concatenate(scale_feats, axis=-1)
+
+
+class FPModule(nn.Module):
+    """Feature propagation: 3-NN inverse-distance upsampling + unit MLP
+    (ref pointnet_util.py:199-229)."""
+
+    mlp: Sequence[int]
+    bn: bool = True
+    dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz1: jnp.ndarray,
+        xyz2: jnp.ndarray,
+        points1: jnp.ndarray | None,
+        points2: jnp.ndarray,
+        train: bool = False,
+        bn_momentum=0.9,
+    ) -> jnp.ndarray:
+        dist, idx = ops.three_nn(xyz1, xyz2)
+        weight = three_interpolate_weights(dist)
+        interpolated = ops.three_interpolate(points2, idx, weight)
+        if points1 is not None:
+            interpolated = jnp.concatenate([interpolated, points1], axis=-1)
+        return MLP(
+            self.mlp, bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="mlp"
+        )(interpolated, train=train, bn_momentum=bn_momentum)

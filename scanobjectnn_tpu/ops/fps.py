@@ -24,18 +24,49 @@ ops/pallas/fps_kernel.py and is dispatched for large N.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["farthest_point_sample", "gather_point", "prob_sample"]
+__all__ = ["farthest_point_sample", "farthest_point_sample_lax", "gather_point", "prob_sample"]
+
+# Backend dispatch: 'auto' uses the Pallas kernel on TPU and lax elsewhere;
+# override with SCANOBJECTNN_OPS_BACKEND={auto,lax,pallas}.
+_BACKEND = os.environ.get("SCANOBJECTNN_OPS_BACKEND", "auto")
+
+
+def set_ops_backend(backend: str) -> None:
+    global _BACKEND
+    assert backend in ("auto", "lax", "pallas")
+    _BACKEND = backend
+
+
+def _use_pallas() -> bool:
+    if _BACKEND == "lax":
+        return False
+    if _BACKEND == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Iterative farthest point sampling: [B, N, 3] -> int32 [B, npoint].
+
+    Dispatches to the fused Pallas kernel on TPU (ops/pallas/fps_kernel.py),
+    lax.scan elsewhere; identical semantics (parity-tested)."""
+    if _use_pallas():
+        from scanobjectnn_tpu.ops.pallas.fps_kernel import fps_pallas
+
+        return fps_pallas(xyz, npoint)
+    return farthest_point_sample_lax(xyz, npoint)
 
 
 @partial(jax.jit, static_argnums=1)
-def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
-    """Iterative farthest point sampling.
+def farthest_point_sample_lax(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """lax.scan reference implementation of FPS.
 
     Args:
       xyz: [B, N, 3] point coordinates.
@@ -72,8 +103,9 @@ def gather_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     Differentiable in ``points``; the VJP is a scatter-add, matching
     GatherPointGrad (tf_sampling_g.cu:183-192, tf_sampling.py:44-48).
     """
-    c = points.shape[-1]
-    return jnp.take_along_axis(points, idx[..., None].repeat(c, axis=-1), axis=1)
+    from scanobjectnn_tpu.ops.grouping import batched_index_gather
+
+    return batched_index_gather(points, idx)
 
 
 def prob_sample(cumprob: jnp.ndarray, uniforms: jnp.ndarray) -> jnp.ndarray:

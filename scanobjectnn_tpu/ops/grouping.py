@@ -99,19 +99,25 @@ def query_ball_point(
     return idx.astype(jnp.int32), pts_cnt.astype(jnp.int32)
 
 
+def batched_index_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows per batch element: [B, N, C], [B, ...] -> [B, ..., C].
+
+    This vmap'd advanced-indexing form lowers to an XLA gather with batching
+    dims; on TPU it is ~100x faster than ``take_along_axis`` with a
+    channel-broadcast index (which degrades catastrophically for C >> 1 —
+    measured 476ms vs 4ms fwd at SA2 shapes on v5e), and its transpose is a
+    fast scatter-add.
+    """
+    return jax.vmap(lambda p, i: p[i])(points, idx)
+
+
 def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Grouped gather: [B, N, C], [B, M, K] -> [B, M, K, C].
 
     Differentiable in ``points`` (VJP = scatter-add, matching
     GroupPointGrad's atomicAdd kernel tf_grouping_g.cu:61-78).
     """
-    b, n, c = points.shape
-    _, m, k = idx.shape
-    flat_idx = idx.reshape(b, m * k)
-    gathered = jnp.take_along_axis(
-        points, flat_idx[..., None].repeat(c, axis=-1), axis=1
-    )
-    return gathered.reshape(b, m, k, c)
+    return batched_index_gather(points, idx)
 
 
 @partial(jax.jit, static_argnums=0)

@@ -31,8 +31,24 @@ def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> tuple[jnp.ndarray, jnp.nda
     Returns ``(dist[B, N, 3], idx[B, N, 3])``, ascending by distance.
     """
     d2 = pairwise_squared_distance(xyz1, xyz2)  # [B, N, M]
-    neg_vals, idx = lax.top_k(-d2, 3)
-    return lax.stop_gradient(-neg_vals), lax.stop_gradient(idx.astype(jnp.int32))
+    m = d2.shape[-1]
+    if m >= 3:
+        neg_vals, idx = lax.top_k(-d2, 3)
+        dist, idx = -neg_vals, idx.astype(jnp.int32)
+    else:
+        # Fewer than 3 candidates (e.g. interpolating from the group-all
+        # level's single point, pointnet2_cls_bga.py:56): the reference CPU
+        # kernel leaves unfilled slots at their 1e40 init with index 0
+        # (tf_interpolate.cpp:59-66), which zeroes their IDW weight.
+        neg_vals, idx = lax.top_k(-d2, m)
+        pad = 3 - m
+        dist = jnp.concatenate(
+            [-neg_vals, jnp.full(d2.shape[:-1] + (pad,), 1e40, d2.dtype)], axis=-1
+        )
+        idx = jnp.concatenate(
+            [idx, jnp.zeros(d2.shape[:-1] + (pad,), idx.dtype)], axis=-1
+        ).astype(jnp.int32)
+    return lax.stop_gradient(dist), lax.stop_gradient(idx)
 
 
 def three_interpolate_weights(dist: jnp.ndarray) -> jnp.ndarray:
@@ -58,10 +74,7 @@ def three_interpolate(
       ``weight`` (the points-VJP is the reference's scatter-add
       ThreeInterpolateGrad, tf_interpolate.cpp:222-262).
     """
-    b, n, _ = idx.shape
-    c = points.shape[-1]
-    flat_idx = idx.reshape(b, n * 3)
-    gathered = jnp.take_along_axis(
-        points, flat_idx[..., None].repeat(c, axis=-1), axis=1
-    ).reshape(b, n, 3, c)
+    from scanobjectnn_tpu.ops.grouping import batched_index_gather
+
+    gathered = batched_index_gather(points, idx)  # [B, N, 3, C]
     return jnp.einsum("bnkc,bnk->bnc", gathered, weight.astype(gathered.dtype))

@@ -1,0 +1,427 @@
+"""The unified training loop: ONE trainer for every model family.
+
+Replaces the reference's six cloned driver stacks (pointnet2/train.py:136-310,
+train_seg.py, train_partseg.py, and their copies in each method folder) with a
+single pjit-sharded implementation:
+
+  * the train step — augmentation, forward, loss, backward, optimizer update,
+    BN running-stat update, metric computation — is ONE jitted function over a
+    device mesh; the global batch is sharded on the 'data' axis and GSPMD
+    inserts gradient psums over ICI (the reference's feed_dict loop and absent
+    NCCL story, SURVEY.md §2.6);
+  * LR and BN-momentum schedules trace into the step (train.py:116-134
+    semantics, schedules.py);
+  * checkpointing is orbax, every epoch, with --resume (the reference requires
+    hand-uncommenting saver.restore, SURVEY.md §5);
+  * metrics match the reference logs: mean loss, overall accuracy, avg-class
+    accuracy, per-class table, seg accuracy (computed from seg predictions —
+    the reference's train_seg.py:161 reuses the cls correctness by mistake;
+    documented deviation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from scanobjectnn_tpu import augment as aug
+from scanobjectnn_tpu import models as model_zoo
+from scanobjectnn_tpu.data.pipeline import Batches, EpochSampler
+from scanobjectnn_tpu.parallel import mesh as mesh_lib
+from scanobjectnn_tpu.train import schedules
+from scanobjectnn_tpu.utils.logging import Logger
+
+__all__ = ["TrainerConfig", "TrainState", "Trainer"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclass
+class TrainerConfig:
+    """Flag vocabulary mirroring the reference drivers (pointnet2/train.py:25-47)."""
+
+    model: str = "pointnet2_cls_ssg"
+    num_classes: int = 15
+    num_point: int = 1024
+    batch_size: int = 16
+    max_epoch: int = 250
+    learning_rate: float = 1e-3
+    momentum: float = 0.9
+    optimizer: str = "adam"
+    decay_step: int = 200_000
+    decay_rate: float = 0.7
+    seg_weight: float = 0.5
+    weight_decay: float = 0.0
+    dtype: str = "float32"
+    seed: int = 0
+    log_dir: str | None = None
+    augment_rotate: bool = True
+    augment_jitter: bool = True
+    model_kwargs: dict = field(default_factory=dict)
+    checkpoint_every: int = 1
+
+    @property
+    def jnp_dtype(self):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+
+class Trainer:
+    """Builds, shards, trains, and evaluates any registered model."""
+
+    def __init__(self, config: TrainerConfig, mesh=None, logger: Logger | None = None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.logger = logger or Logger(config.log_dir)
+
+        kwargs = dict(config.model_kwargs)
+        if config.model.endswith("partseg"):
+            kwargs.setdefault("num_parts", config.num_classes)
+        else:
+            kwargs.setdefault("num_classes", config.num_classes)
+        kwargs.setdefault("dtype", config.jnp_dtype)
+        self.model, self._loss_fn, self.kind = model_zoo.get_model(config.model, **kwargs)
+
+        self.lr_schedule = schedules.exponential_decay_lr(
+            config.learning_rate, config.batch_size, config.decay_step, config.decay_rate
+        )
+        self.bn_schedule = schedules.bn_momentum_schedule(
+            config.batch_size, config.decay_step
+        )
+        if config.optimizer == "adam":
+            tx = optax.adam(self.lr_schedule)
+        elif config.optimizer == "momentum":
+            tx = optax.sgd(self.lr_schedule, momentum=config.momentum)
+        else:
+            raise ValueError(f"unknown optimizer {config.optimizer!r}")
+        if config.weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(config.weight_decay), tx)
+        self.tx = tx
+
+        self._batch_shard = mesh_lib.batch_sharding(self.mesh)
+        self._repl = mesh_lib.replicated_sharding(self.mesh)
+
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=(0,),
+            in_shardings=(None, self._batch_shard, None),
+            out_shardings=None,
+        )
+        # The voting rotation matrix is a traced [3,3] input (computed on host
+        # in float64) so all vote angles share ONE compiled eval step.
+        self._eval_step = jax.jit(
+            self._eval_step_impl,
+            in_shardings=(None, self._batch_shard, self._repl),
+        )
+
+    # ------------------------------------------------------------------ setup
+
+    def init_state(self, rng: jax.Array | int = 0) -> TrainState:
+        if isinstance(rng, int):
+            rng = jax.random.PRNGKey(rng)
+        dummy = jnp.zeros(
+            (self.config.batch_size, self.config.num_point, 3), jnp.float32
+        )
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, dummy, train=False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        return jax.device_put(state, self._repl)
+
+    def param_count(self, state: TrainState) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+
+    # ------------------------------------------------------------- train step
+
+    def _augment(self, key: jax.Array, points: jnp.ndarray) -> jnp.ndarray:
+        """Reference recipe: per-cloud y-rotation + per-point jitter
+        (pointnet2/train.py:246-247), fused into the step."""
+        k1, k2 = jax.random.split(key)
+        if self.config.augment_rotate:
+            points = aug.rotate_point_cloud(k1, points)
+        if self.config.augment_jitter:
+            points = aug.jitter_point_cloud(k2, points)
+        return points
+
+    def _compute_metrics(self, outputs, batch) -> dict:
+        metrics = {}
+        if "logits" in outputs:
+            pred = jnp.argmax(outputs["logits"], axis=-1)
+            metrics["correct"] = jnp.sum(pred == batch["labels"])
+            metrics["count"] = jnp.asarray(pred.shape[0], jnp.int32)
+        if "seg_logits" in outputs and ("masks" in batch or "parts" in batch):
+            target = batch.get("masks", batch.get("parts"))
+            seg_pred = jnp.argmax(outputs["seg_logits"], axis=-1)
+            metrics["seg_correct"] = jnp.sum(seg_pred == target)
+            metrics["seg_count"] = jnp.asarray(seg_pred.size, jnp.int32)
+        return metrics
+
+    def _train_step_impl(self, state: TrainState, batch: dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        aug_rng, dropout_rng = jax.random.split(step_rng)
+        batch = dict(batch)
+        batch["points"] = self._augment(aug_rng, batch["points"].astype(jnp.float32))
+        bn_momentum = self.bn_schedule(state.step)
+
+        def loss_fn(params):
+            outputs, mutated = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["points"],
+                train=True,
+                bn_momentum=bn_momentum,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            loss, metrics = self._loss_fn(outputs, batch)
+            return loss, (metrics, mutated["batch_stats"], outputs)
+
+        grads, (metrics, new_stats, outputs) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {**metrics, **self._compute_metrics(outputs, batch)}
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, batch: dict, rot: jnp.ndarray):
+        points = batch["points"].astype(jnp.float32)
+        points = jnp.einsum(
+            "bnc,cd->bnd", points, rot, precision=jax.lax.Precision.HIGHEST
+        )
+        outputs = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            points,
+            train=False,
+        )
+        loss, metrics = self._loss_fn(outputs, batch)
+        out = {"loss": loss, **{k: v for k, v in outputs.items() if k != "end_points"}}
+        out.update(self._compute_metrics(outputs, batch))
+        return out
+
+    # ------------------------------------------------------------ public API
+
+    def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
+        batch = mesh_lib.shard_batch(self._as_device_batch(batch), self.mesh)
+        return self._train_step(state, batch, rng)
+
+    def eval_step(self, state: TrainState, batch: dict, rotate_angle: float = 0.0):
+        batch = mesh_lib.shard_batch(self._as_device_batch(batch), self.mesh)
+        c, s = np.cos(float(rotate_angle)), np.sin(float(rotate_angle))
+        rot = jnp.asarray(
+            [[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], jnp.float32
+        )
+        return self._eval_step(state, batch, rot)
+
+    def _as_device_batch(self, batch: dict) -> dict:
+        out = {"points": jnp.asarray(batch["points"], jnp.float32)}
+        if "labels" in batch:
+            out["labels"] = jnp.asarray(batch["labels"], jnp.int32)
+        if "masks" in batch:
+            out["masks"] = jnp.asarray(batch["masks"], jnp.int32)
+        if "parts" in batch:
+            out["parts"] = jnp.asarray(batch["parts"], jnp.int32)
+        return out
+
+    def train_epoch(self, state: TrainState, sampler: EpochSampler, rng: jax.Array):
+        view = sampler.epoch()
+        totals: dict[str, float] = {}
+        n_batches = 0
+        for batch in Batches(view, self.config.batch_size):
+            state, metrics = self.train_step(state, batch, rng)
+            n_batches += 1
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        summary = {
+            "mean_loss": totals.get("loss", 0.0) / max(n_batches, 1),
+        }
+        if "correct" in totals:
+            summary["accuracy"] = totals["correct"] / max(totals.get("count", 1), 1)
+        if "seg_correct" in totals:
+            summary["seg_accuracy"] = totals["seg_correct"] / max(totals.get("seg_count", 1), 1)
+        return state, summary
+
+    def evaluate(
+        self,
+        state: TrainState,
+        data: np.ndarray,
+        labels: np.ndarray,
+        masks: np.ndarray | None = None,
+        parts: np.ndarray | None = None,
+        num_votes: int = 1,
+        shuffle: bool = True,
+        seed: int | None = 0,
+    ) -> dict:
+        """Voting evaluation (evaluate_scenennobjects.py:152-231): per batch,
+        sum logits over ``num_votes`` uniformly spaced y-rotations, argmax,
+        tally overall + per-class (+ seg) accuracy."""
+        cfg = self.config
+        sampler = EpochSampler(
+            data, labels, masks=masks, parts=parts,
+            num_points=cfg.num_point, shuffle=shuffle, seed=seed,
+        )
+        view = sampler.epoch()
+        num_classes = cfg.num_classes
+        total_seen = 0
+        total_correct = 0
+        loss_sum = 0.0
+        seen_class = np.zeros(num_classes, np.int64)
+        correct_class = np.zeros(num_classes, np.int64)
+        seg_correct = 0
+        seg_seen = 0
+        all_pred = []
+        all_label = []
+        for batch in Batches(view, cfg.batch_size):
+            bsz = len(batch["labels"])
+            pred_sum = np.zeros((bsz, num_classes), np.float32)
+            batch_loss = 0.0
+            seg_logits_sum = None
+            for vote_idx in range(num_votes):
+                angle = vote_idx / float(num_votes) * 2.0 * np.pi
+                out = self.eval_step(state, batch, rotate_angle=angle)
+                if "logits" in out:
+                    pred_sum += np.asarray(out["logits"], np.float32)
+                if "seg_logits" in out:
+                    s = np.asarray(out["seg_logits"], np.float32)
+                    seg_logits_sum = s if seg_logits_sum is None else seg_logits_sum + s
+                batch_loss += float(out["loss"]) * bsz / num_votes
+            loss_sum += batch_loss
+            if "logits" in out:
+                pred = np.argmax(pred_sum, axis=1)
+                labels_np = np.asarray(batch["labels"])
+                total_correct += int((pred == labels_np).sum())
+                for p, l in zip(pred, labels_np):
+                    seen_class[l] += 1
+                    correct_class[l] += int(p == l)
+                all_pred.append(pred)
+                all_label.append(labels_np)
+            if seg_logits_sum is not None:
+                target = batch.get("masks", batch.get("parts"))
+                if target is not None:
+                    seg_pred = np.argmax(seg_logits_sum, axis=-1)
+                    seg_correct += int((seg_pred == np.asarray(target)).sum())
+                    seg_seen += seg_pred.size
+            total_seen += bsz
+
+        results: dict[str, Any] = {
+            "total_seen": total_seen,
+            "mean_loss": loss_sum / max(total_seen, 1),
+        }
+        if total_seen and seen_class.sum() > 0:
+            results["accuracy"] = total_correct / total_seen
+            with np.errstate(divide="ignore", invalid="ignore"):
+                per_class = np.where(
+                    seen_class > 0, correct_class / np.maximum(seen_class, 1), np.nan
+                )
+            results["avg_class_accuracy"] = float(np.nanmean(per_class))
+            results["per_class_accuracy"] = per_class
+            results["predictions"] = np.concatenate(all_pred) if all_pred else np.array([])
+            results["labels"] = np.concatenate(all_label) if all_label else np.array([])
+        if seg_seen:
+            results["seg_accuracy"] = seg_correct / seg_seen
+        return results
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(
+        self,
+        train_data: dict,
+        test_data: dict | None = None,
+        state: TrainState | None = None,
+        num_votes: int = 1,
+        resume: bool = False,
+    ) -> TrainState:
+        cfg = self.config
+        rng = jax.random.PRNGKey(cfg.seed)
+        if state is None:
+            state = self.init_state(rng)
+            if resume and cfg.log_dir:
+                state = self.restore(state) or state
+        self.logger.log(
+            f"model={cfg.model} params={self.param_count(state):,} "
+            f"devices={len(self.mesh.devices.flatten())}"
+        )
+        sampler = EpochSampler(
+            train_data["points"], train_data["labels"],
+            masks=train_data.get("masks"), parts=train_data.get("parts"),
+            num_points=cfg.num_point, seed=cfg.seed,
+        )
+        for epoch in range(cfg.max_epoch):
+            t0 = time.time()
+            state, summary = self.train_epoch(state, sampler, rng)
+            msg = f"epoch {epoch:03d} " + " ".join(
+                f"{k}={v:.4f}" for k, v in summary.items()
+            )
+            self.logger.log(f"{msg} ({time.time() - t0:.1f}s)")
+            if test_data is not None:
+                ev = self.evaluate(
+                    state, test_data["points"], test_data["labels"],
+                    masks=test_data.get("masks"), parts=test_data.get("parts"),
+                    num_votes=num_votes,
+                )
+                self.logger.log(
+                    "  eval "
+                    + " ".join(
+                        f"{k}={v:.4f}"
+                        for k, v in ev.items()
+                        if isinstance(v, (int, float))
+                    )
+                )
+            if cfg.log_dir and (epoch + 1) % cfg.checkpoint_every == 0:
+                self.save(state)
+        return state
+
+    # ------------------------------------------------------------ checkpoints
+
+    def _ckpt_dir(self) -> str:
+        assert self.config.log_dir
+        return os.path.join(os.path.abspath(self.config.log_dir), "checkpoint")
+
+    def save(self, state: TrainState) -> None:
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir()
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.wait_until_finished()
+        with open(os.path.join(os.path.dirname(path), "config.json"), "w") as f:
+            json.dump(
+                {k: v for k, v in self.config.__dict__.items() if not callable(v)},
+                f, default=str, indent=2,
+            )
+
+    def restore(self, template: TrainState) -> TrainState | None:
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir()
+        if not os.path.isdir(path):
+            return None
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, jax.device_get(template))
+        return jax.device_put(restored, self._repl)

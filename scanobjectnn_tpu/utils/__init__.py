@@ -1,0 +1,1 @@
+from scanobjectnn_tpu.utils.logging import Logger  # noqa: F401

@@ -1,0 +1,144 @@
+"""Model-level shape/loss/grad smoke tests, mirroring the reference's
+__main__ graph-build checks (SURVEY.md §4.2) but stronger: forward shapes,
+finite losses, nonzero grads, train/eval mode divergence, BN stat updates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scanobjectnn_tpu import models as zoo
+
+B, N = 4, 128
+
+
+def _batch(kind, num_classes=15, rng_seed=0):
+    rng = np.random.RandomState(rng_seed)
+    batch = {
+        "points": jnp.asarray(rng.randn(B, N, 3).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, num_classes, B).astype(np.int32)),
+    }
+    if kind == "seg":
+        batch["masks"] = jnp.asarray(rng.randint(0, 2, (B, N)).astype(np.int32))
+    if kind == "partseg":
+        batch["parts"] = jnp.asarray(rng.randint(0, 6, (B, N)).astype(np.int32))
+    return batch
+
+
+def _init(model):
+    key = jax.random.PRNGKey(0)
+    return model.init({"params": key, "dropout": key}, jnp.zeros((B, N, 3)), train=False)
+
+
+ALL_MODELS = sorted(zoo.MODEL_REGISTRY)
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_forward_shapes_and_loss(name):
+    spec = zoo.MODEL_REGISTRY[name]
+    model, loss_fn, kind = zoo.get_model(name)
+    variables = _init(model)
+    batch = _batch(kind)
+    outputs = model.apply(variables, batch["points"], train=False)
+    if kind == "cls":
+        assert outputs["logits"].shape == (B, 15)
+    if kind == "seg":
+        assert outputs["logits"].shape == (B, 15)
+        assert outputs["seg_logits"].shape == (B, N, 2)
+    if kind == "partseg":
+        assert outputs["seg_logits"].shape == (B, N, 6)
+    loss, metrics = loss_fn(outputs, batch)
+    assert np.isfinite(float(loss))
+    assert "loss" in metrics
+
+
+@pytest.mark.parametrize("name", ["pointnet_cls", "pointnet2_cls_ssg", "dgcnn"])
+def test_grads_nonzero(name):
+    model, loss_fn, kind = zoo.get_model(name)
+    variables = _init(model)
+    batch = _batch(kind)
+    key = jax.random.PRNGKey(1)
+
+    def f(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch["points"], train=True, bn_momentum=0.9,
+            rngs={"dropout": key}, mutable=["batch_stats"],
+        )
+        return loss_fn(out, batch)[0]
+
+    grads = jax.grad(f)(variables["params"])
+    norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads)]
+    assert max(norms) > 0
+    assert all(np.isfinite(n) for n in norms)
+
+
+def test_bn_stats_update():
+    model, _, _ = zoo.get_model("pointnet_cls_basic")
+    variables = _init(model)
+    batch = _batch("cls")
+    _, mutated = model.apply(
+        variables, batch["points"] * 5.0, train=True, bn_momentum=0.5,
+        rngs={"dropout": jax.random.PRNGKey(0)}, mutable=["batch_stats"],
+    )
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    changed = any(float(jnp.abs(a - b).max()) > 1e-6 for a, b in zip(after, before))
+    assert changed
+
+
+def test_eval_deterministic_train_stochastic():
+    model, _, _ = zoo.get_model("pointnet_cls")
+    variables = _init(model)
+    batch = _batch("cls")
+    o1 = model.apply(variables, batch["points"], train=False)
+    o2 = model.apply(variables, batch["points"], train=False)
+    np.testing.assert_allclose(np.asarray(o1["logits"]), np.asarray(o2["logits"]))
+    t1, _ = model.apply(
+        variables, batch["points"], train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)}, mutable=["batch_stats"],
+    )
+    t2, _ = model.apply(
+        variables, batch["points"], train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
+    )
+    assert np.abs(np.asarray(t1["logits"]) - np.asarray(t2["logits"])).max() > 0
+
+
+def test_tnet_identity_at_init():
+    """T-Nets start as the identity transform (zero weights + identity bias,
+    transform_nets.py:40-53)."""
+    model = zoo.TransformNet(k=3)
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 3).astype(np.float32))
+    variables = model.init(key, x, False, 0.9)
+    t = model.apply(variables, x, False, 0.9)
+    np.testing.assert_allclose(
+        np.asarray(t), np.tile(np.eye(3), (2, 1, 1)), atol=1e-5
+    )
+
+
+def test_pointnet_loss_includes_orthogonality():
+    model, loss_fn, _ = zoo.get_model("pointnet_cls")
+    variables = _init(model)
+    batch = _batch("cls")
+    outputs = model.apply(variables, batch["points"], train=False)
+    # Perturb the transform away from orthogonality; loss must increase.
+    _, metrics = loss_fn(outputs, batch)
+    outputs_bad = dict(outputs)
+    outputs_bad["end_points"] = {
+        "transform": outputs["end_points"]["transform"] * 3.0
+    }
+    _, metrics_bad = loss_fn(outputs_bad, batch)
+    assert float(metrics_bad["mat_diff_loss"]) > float(metrics["mat_diff_loss"])
+
+
+def test_bga_loss_weighting():
+    model, loss_fn, _ = zoo.get_model("pointnet2_cls_bga")
+    variables = _init(model)
+    batch = _batch("seg")
+    outputs = model.apply(variables, batch["points"], train=False)
+    t0, m0 = loss_fn(outputs, batch, seg_weight=0.0)
+    t1, m1 = loss_fn(outputs, batch, seg_weight=1.0)
+    np.testing.assert_allclose(float(t0), float(m0["classify_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(t1), float(m1["seg_loss"]), rtol=1e-5)

@@ -164,3 +164,26 @@ class TestProbSample:
         # Empirical frequencies approximate the pdf.
         freq = np.bincount(idx[0], minlength=10) / 1000
         np.testing.assert_allclose(freq, probs[0], atol=0.06)
+
+
+class TestFPSPallas:
+    """The Pallas FPS kernel (interpret mode on CPU) matches the lax
+    implementation and the golden CUDA semantics."""
+
+    def test_matches_lax_and_golden(self, rng):
+        from scanobjectnn_tpu.ops.pallas.fps_kernel import fps_pallas
+        from scanobjectnn_tpu.ops.fps import farthest_point_sample_lax
+
+        xyz = _cloud(rng, b=4, n=256)
+        got = np.asarray(fps_pallas(jnp.asarray(xyz), 64, interpret=True))
+        want_lax = np.asarray(farthest_point_sample_lax(jnp.asarray(xyz), 64))
+        want_gold = golden.fps_golden(xyz, 64)
+        np.testing.assert_array_equal(got, want_lax)
+        np.testing.assert_array_equal(got, want_gold)
+
+    def test_small_npoint(self, rng):
+        from scanobjectnn_tpu.ops.pallas.fps_kernel import fps_pallas
+
+        xyz = _cloud(rng, b=2, n=32)
+        got = np.asarray(fps_pallas(jnp.asarray(xyz), 1, interpret=True))
+        assert got.shape == (2, 1) and (got == 0).all()
