@@ -236,3 +236,85 @@ def standard_train_augment(key: jax.Array, points: jnp.ndarray) -> jnp.ndarray:
     (/root/reference/pointnet2/train.py:246-247)."""
     k1, k2 = jax.random.split(key)
     return jitter_point_cloud(k2, rotate_point_cloud(k1, points))
+
+
+def pointcnn_xforms(
+    key: jax.Array,
+    num: int,
+    rotation_range: Sequence = (0.0, jnp.pi, 0.0, "u"),
+    scaling_range: Sequence = (0.1, 0.1, 0.1, "g"),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-cloud augmentation transforms for PointCNN, matching
+    pointfly.get_xforms (PointCNN/pointfly.py:75-92): per-axis rotation
+    angles (uniform in ±bound, or gaussian clipped at 3σ) composed
+    intrinsically x→y→z, and per-axis scaling (gaussian around 1 clipped at
+    3σ, or uniform 1±bound).
+
+    Returns (xforms[num,3,3], rotations[num,3,3]).
+
+    Documented deviation: the reference computes ``scaling * rotation`` with
+    numpy's ELEMENTWISE ``*`` on a diag matrix, which zeroes all off-diagonal
+    rotation terms and degenerates the augmentation to axis scaling/flips.
+    We use the intended matrix product S @ R.
+    """
+    k_rot, k_scale = jax.random.split(key)
+    rot_keys = jax.random.split(k_rot, 3)
+    angles = []
+    for i in range(3):
+        bound, method = float(rotation_range[i]), rotation_range[3]
+        if method == "g":
+            a = jnp.clip(
+                bound * jax.random.normal(rot_keys[i], (num,)), -3 * bound, 3 * bound
+            )
+        else:
+            a = bound * jax.random.uniform(rot_keys[i], (num,), minval=-1.0, maxval=1.0)
+        angles.append(a)
+    ax, ay, az = angles
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    z = jnp.zeros_like(cx)
+    o = jnp.ones_like(cx)
+    rx = jnp.stack([o, z, z, z, cx, -sx, z, sx, cx], -1).reshape(num, 3, 3)
+    ry = jnp.stack([cy, z, sy, z, o, z, -sy, z, cy], -1).reshape(num, 3, 3)
+    rz = jnp.stack([cz, -sz, z, sz, cz, z, z, z, o], -1).reshape(num, 3, 3)
+    rotations = jnp.einsum("bij,bjk,bkl->bil", rx, ry, rz)
+
+    scale_keys = jax.random.split(k_scale, 3)
+    scales = []
+    for i in range(3):
+        bound, method = float(scaling_range[i]), scaling_range[3]
+        if method == "g":
+            s = 1.0 + jnp.clip(
+                bound * jax.random.normal(scale_keys[i], (num,)), -3 * bound, 3 * bound
+            )
+        else:
+            s = 1.0 + bound * jax.random.uniform(
+                scale_keys[i], (num,), minval=-1.0, maxval=1.0
+            )
+        scales.append(s)
+    scaling = jnp.zeros((num, 3, 3)).at[:, 0, 0].set(scales[0])
+    scaling = scaling.at[:, 1, 1].set(scales[1]).at[:, 2, 2].set(scales[2])
+    xforms = jnp.einsum("bij,bjk->bik", scaling, rotations)
+    return xforms, rotations
+
+
+def pointcnn_augment(
+    key: jax.Array,
+    points: jnp.ndarray,
+    jitter_range: float = 0.0,
+    rotation_range: Sequence = (0.0, jnp.pi, 0.0, "u"),
+    scaling_range: Sequence = (0.1, 0.1, 0.1, "g"),
+) -> jnp.ndarray:
+    """In-graph PointCNN augmentation (pointfly.augment, pointfly.py:94-103):
+    per-cloud transform matmul + gaussian jitter clipped at ±5·range."""
+    k_x, k_j = jax.random.split(key)
+    xforms, _ = pointcnn_xforms(k_x, points.shape[0], rotation_range, scaling_range)
+    out = jnp.einsum("bnc,bcd->bnd", points, xforms.astype(points.dtype), precision=_HI)
+    if jitter_range:
+        noise = jnp.clip(
+            jitter_range * jax.random.normal(k_j, out.shape, out.dtype),
+            -5 * jitter_range, 5 * jitter_range,
+        )
+        out = out + noise
+    return out

@@ -77,3 +77,21 @@ def default_training_data_dir() -> str | None:
     if env and os.path.isdir(env):
         return env
     return None
+
+
+def load_part_colormap(path: str) -> list[dict]:
+    """Parse a part_labels/*_meta.xml colormap: per-part id, text, RGB color
+    (training_data/part_labels/, used by the seg visualization dumps)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    parts = []
+    for node in root.findall("class"):
+        parts.append(
+            {
+                "id": int(node.get("id")),
+                "text": node.get("text"),
+                "color": tuple(int(v) for v in node.get("color").split()),
+            }
+        )
+    return parts

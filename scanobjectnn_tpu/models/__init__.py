@@ -28,6 +28,15 @@ from scanobjectnn_tpu.models.pointnet2 import (
     PointNet2PartSeg,
 )
 from scanobjectnn_tpu.models.dgcnn import DGCNN, DGCNNBGA
+from scanobjectnn_tpu.models.spidercnn import SpiderCNNCls
+from scanobjectnn_tpu.models.threedmfv import ThreeDmFVNet
+from scanobjectnn_tpu.models.pointcnn import (
+    PointCNNCls,
+    PointCNNSeg,
+    PointCNNSetting,
+    modelnet_x3_l4,
+    object_dataset_x3,
+)
 
 __all__ = [
     "ModelSpec",
@@ -43,6 +52,11 @@ __all__ = [
     "DGCNN",
     "DGCNNBGA",
     "TransformNet",
+    "SpiderCNNCls",
+    "ThreeDmFVNet",
+    "PointCNNCls",
+    "PointCNNSeg",
+    "PointCNNSetting",
 ]
 
 
@@ -81,6 +95,10 @@ _register("pointnet2_cls_bga", PointNet2BGA, "seg")
 _register("pointnet2_cls_partseg", PointNet2PartSeg, "partseg")
 _register("dgcnn", DGCNN, "cls")
 _register("dgcnn_bga", DGCNNBGA, "seg")
+_register("spidercnn_cls_xyz", SpiderCNNCls, "cls")
+_register("3dmfv_net_cls", ThreeDmFVNet, "cls")
+_register("pointcnn_cls", PointCNNCls, "cls")
+_register("pointcnn_seg", PointCNNSeg, "seg")
 
 
 def get_model(name: str, **overrides):

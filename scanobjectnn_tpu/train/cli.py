@@ -52,6 +52,7 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_augment", action="store_true", help="disable rotate+jitter train augmentation")
+    p.add_argument("--visu", action="store_true", help="dump error-case renders/PLYs (eval) and seg masks (eval_seg)")
 
 
 def _load(path: str, with_bg: bool, num_point: int, mode: str = "cls"):
@@ -145,6 +146,8 @@ def _evaluate(args, mode: str):
         kwargs["shuffle"] = False  # evaluate_seg_scenennobjects.py:195
     if mode == "partseg":
         kwargs["parts"] = extra
+    if args.visu:
+        kwargs["keep_points"] = True
     results = trainer.evaluate(state, data, labels, num_votes=args.num_votes, **kwargs)
     log = trainer.logger
     log.log(f"total seen: {results['total_seen']}")
@@ -161,6 +164,22 @@ def _evaluate(args, mode: str):
             )
     if "seg_accuracy" in results:
         log.log(f"eval seg accuracy: {results['seg_accuracy']:.6f}")
+    if args.visu and args.log_dir and "points" in results:
+        from scanobjectnn_tpu.data.mappings import SCANOBJECTNN_CLASSES as _names
+
+        dump_dir = os.path.join(args.log_dir, "dump")
+        if "predictions" in results:
+            n_err = ev.dump_error_cases(
+                dump_dir, results["points"], results["predictions"],
+                results["labels"], _names[: args.num_class],
+            )
+            log.log(f"dumped {n_err} error cases to {dump_dir}")
+        if "seg_predictions" in results and "masks" in results:
+            n_seg = ev.dump_seg_masks(
+                dump_dir, results["points"], results["masks"],
+                results["seg_predictions"],
+            )
+            log.log(f"dumped {n_seg} seg mask pairs to {dump_dir}")
     return results
 
 

@@ -124,3 +124,60 @@ def confusion_matrix(labels, predictions, num_classes: int, normalize: bool = Tr
             cm = cm / cm.sum(axis=1, keepdims=True)
         cm = np.nan_to_num(cm)
     return cm
+
+
+def dump_error_cases(
+    dump_dir: str,
+    points: np.ndarray,
+    predictions: np.ndarray,
+    labels: np.ndarray,
+    class_names,
+    max_dumps: int = 50,
+) -> int:
+    """Write three-view depth PNG + PLY for each misclassified sample
+    (evaluate_scenennobjects.py:211-222 dumps JPEG via the removed
+    scipy.misc.imsave; here PNG via the stdlib writer)."""
+    from scanobjectnn_tpu.data import io as data_io
+    from scanobjectnn_tpu.viz.render import point_cloud_three_views, save_image
+
+    os.makedirs(dump_dir, exist_ok=True)
+    error_cnt = 0
+    for i, (p, l) in enumerate(zip(predictions, labels)):
+        if p == l or error_cnt >= max_dumps:
+            continue
+        stem = f"{error_cnt}_label_{class_names[int(l)]}_pred_{class_names[int(p)]}"
+        img = point_cloud_three_views(points[i])
+        save_image(os.path.join(dump_dir, stem + ".png"), img)
+        data_io.save_ply(points[i], os.path.join(dump_dir, stem + ".ply"))
+        error_cnt += 1
+    return error_cnt
+
+
+_MASK_COLORS = np.array(
+    [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]  # background red, foreground blue
+)
+
+
+def dump_seg_masks(
+    dump_dir: str,
+    points: np.ndarray,
+    gt_masks: np.ndarray,
+    pred_masks: np.ndarray,
+    max_dumps: int = 20,
+) -> int:
+    """Write gt/pred binary-mask point clouds as colored PLYs
+    (evaluate_seg_scenennobjects.py:104-137 dumps .bin/.obj; PLY carries the
+    same per-point colors and loads in the same tools)."""
+    from scanobjectnn_tpu.data import io as data_io
+
+    os.makedirs(dump_dir, exist_ok=True)
+    n = min(len(points), max_dumps)
+    for i in range(n):
+        for tag, mask in (("gt", gt_masks[i]), ("pred", pred_masks[i])):
+            colors = _MASK_COLORS[np.asarray(mask).astype(int).clip(0, 1)]
+            data_io.save_ply(
+                points[i],
+                os.path.join(dump_dir, f"{i}_{tag}_mask.ply"),
+                colors=colors,
+            )
+    return n

@@ -277,6 +277,7 @@ class Trainer:
         num_votes: int = 1,
         shuffle: bool = True,
         seed: int | None = 0,
+        keep_points: bool = False,
     ) -> dict:
         """Voting evaluation (evaluate_scenennobjects.py:152-231): per batch,
         sum logits over ``num_votes`` uniformly spaced y-rotations, argmax,
@@ -297,6 +298,7 @@ class Trainer:
         seg_seen = 0
         all_pred = []
         all_label = []
+        all_seg_pred = []
         for batch in Batches(view, cfg.batch_size):
             bsz = len(batch["labels"])
             pred_sum = np.zeros((bsz, num_classes), np.float32)
@@ -322,9 +324,11 @@ class Trainer:
                 all_pred.append(pred)
                 all_label.append(labels_np)
             if seg_logits_sum is not None:
+                seg_pred = np.argmax(seg_logits_sum, axis=-1)
+                if keep_points:
+                    all_seg_pred.append(seg_pred)
                 target = batch.get("masks", batch.get("parts"))
                 if target is not None:
-                    seg_pred = np.argmax(seg_logits_sum, axis=-1)
                     seg_correct += int((seg_pred == np.asarray(target)).sum())
                     seg_seen += seg_pred.size
             total_seen += bsz
@@ -345,6 +349,14 @@ class Trainer:
             results["labels"] = np.concatenate(all_label) if all_label else np.array([])
         if seg_seen:
             results["seg_accuracy"] = seg_correct / seg_seen
+        if keep_points:
+            # The evaluated samples in eval order (for error-case dumps).
+            n_eval = (len(view["labels"]) // cfg.batch_size) * cfg.batch_size
+            results["points"] = view["points"][:n_eval]
+            if "masks" in view:
+                results["masks"] = view["masks"][:n_eval]
+            if all_seg_pred:
+                results["seg_predictions"] = np.concatenate(all_seg_pred)
         return results
 
     # ------------------------------------------------------------------- fit
