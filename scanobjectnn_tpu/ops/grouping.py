@@ -54,7 +54,14 @@ def pairwise_squared_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    inner = jnp.einsum("...mc,...nc->...mn", a, b, preferred_element_type=jnp.float32)
+    # Full-precision inner product: the TPU default bf16 matmul would add
+    # ~1e-2 relative error to d², flipping hit/neighbor decisions near ball
+    # boundaries (the benchmark radii are 0.1-0.8 on unit-sphere clouds).
+    inner = jnp.einsum(
+        "...mc,...nc->...mn", a, b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     aa = jnp.sum(jnp.square(a), axis=-1)[..., :, None]
     bb = jnp.sum(jnp.square(b), axis=-1)[..., None, :]
     return jnp.maximum(aa - 2.0 * inner + bb, 0.0)
