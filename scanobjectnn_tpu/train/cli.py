@@ -53,6 +53,7 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_augment", action="store_true", help="disable rotate+jitter train augmentation")
     p.add_argument("--visu", action="store_true", help="dump error-case renders/PLYs (eval) and seg masks (eval_seg)")
+    p.add_argument("--profile", action="store_true", help="capture a jax.profiler trace of the first train epoch into <log_dir>/profile")
 
 
 def _load(path: str, with_bg: bool, num_point: int, mode: str = "cls"):
@@ -118,6 +119,25 @@ def _train(args, mode: str):
     if key:
         train_dict[key] = tr_extra
         test_dict[key] = te_extra
+    if args.profile and args.log_dir:
+        # Trace one warm epoch, then continue untraced.
+        from scanobjectnn_tpu.utils.profiling import trace
+
+        state = trainer.init_state(args.seed)
+        from scanobjectnn_tpu.data.pipeline import EpochSampler
+        import jax as _jax
+
+        sampler = EpochSampler(
+            train_dict["points"], train_dict["labels"],
+            masks=train_dict.get("masks"), parts=train_dict.get("parts"),
+            num_points=args.num_point, seed=args.seed,
+        )
+        state, _ = trainer.train_epoch(state, sampler, _jax.random.PRNGKey(0))  # warmup/compile
+        with trace(os.path.join(args.log_dir, "profile")):
+            state, _ = trainer.train_epoch(state, sampler, _jax.random.PRNGKey(0))
+        trainer.logger.log(f"profile trace written to {args.log_dir}/profile")
+        trainer.fit(train_dict, test_dict, state=state, num_votes=args.num_votes)
+        return
     trainer.fit(train_dict, test_dict, num_votes=args.num_votes, resume=args.resume)
 
 

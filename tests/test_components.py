@@ -151,3 +151,37 @@ class TestSpiderTopK:
         assert out.shape == (2, 4, 2)
         want = np.sort(np.asarray(feat), axis=1)[:, ::-1, :][:, :2, :]
         np.testing.assert_allclose(out, np.swapaxes(want, 1, 2), rtol=1e-6)
+
+
+class TestAuctionMatch:
+    def test_perfect_match_on_permutation(self, rng):
+        from scanobjectnn_tpu.ops.emd import auction_match, emd_loss
+
+        pts = jnp.asarray(rng.rand(2, 24, 3).astype(np.float32))
+        perm = rng.permutation(24)
+        shuffled = pts[:, perm, :]
+        matchl, matchr = auction_match(pts, shuffled)
+        ml = np.asarray(matchl)
+        # Each bidder's matched item must be its own permuted copy.
+        inv = np.argsort(perm)
+        np.testing.assert_array_equal(ml, np.tile(inv[None], (2, 1)))
+        loss = float(emd_loss(pts, shuffled))
+        assert loss < 1e-5
+
+    def test_match_is_permutation(self, rng):
+        from scanobjectnn_tpu.ops.emd import auction_match
+
+        a = jnp.asarray(rng.rand(2, 32, 3).astype(np.float32))
+        b = jnp.asarray(rng.rand(2, 32, 3).astype(np.float32))
+        matchl, _ = auction_match(a, b)
+        for row in np.asarray(matchl):
+            assert len(set(row.tolist())) == 32  # a true assignment
+
+    def test_emd_beats_random_pairing(self, rng):
+        from scanobjectnn_tpu.ops.emd import emd_loss
+
+        a = jnp.asarray(rng.rand(1, 32, 3).astype(np.float32))
+        b = jnp.asarray(rng.rand(1, 32, 3).astype(np.float32))
+        matched = float(emd_loss(a, b))
+        identity = float(jnp.mean(jnp.linalg.norm(a - b, axis=-1)))
+        assert matched <= identity + 1e-6

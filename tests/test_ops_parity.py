@@ -187,3 +187,30 @@ class TestFPSPallas:
         xyz = _cloud(rng, b=2, n=32)
         got = np.asarray(fps_pallas(jnp.asarray(xyz), 1, interpret=True))
         assert got.shape == (2, 1) and (got == 0).all()
+
+
+class TestBallQueryPallas:
+    """The Pallas ball-query kernel (interpret mode on CPU) matches the lax
+    formulation and the golden CUDA semantics."""
+
+    @pytest.mark.parametrize("radius,nsample", [(0.3, 8), (0.5, 4)])
+    def test_matches_golden(self, rng, radius, nsample):
+        from scanobjectnn_tpu.ops.pallas.ballquery_kernel import query_ball_pallas
+
+        xyz = _cloud(rng, b=3, n=64)
+        centers = xyz[:, :16]
+        want_idx, want_cnt = golden.query_ball_golden(radius, nsample, xyz, centers)
+        got_idx, got_cnt = query_ball_pallas(
+            radius, nsample, jnp.asarray(xyz), jnp.asarray(centers), interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+        np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)
+
+    def test_empty_ball(self, rng):
+        from scanobjectnn_tpu.ops.pallas.ballquery_kernel import query_ball_pallas
+
+        xyz = jnp.asarray(_cloud(rng, b=1, n=16))
+        far = jnp.full((1, 4, 3), 100.0)
+        idx, cnt = query_ball_pallas(0.1, 4, xyz, far, interpret=True)
+        assert (np.asarray(cnt) == 0).all()
+        assert (np.asarray(idx) == 0).all()
