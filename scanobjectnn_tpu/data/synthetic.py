@@ -18,6 +18,16 @@ _PROTOTYPES = {
     2: "plane",
     3: "line",
     4: "two_clusters",
+    5: "cylinder",
+    6: "torus",
+    7: "cone",
+    8: "helix",
+    9: "cross",
+    10: "shell",
+    11: "ellipsoid",
+    12: "pyramid",
+    13: "rings",
+    14: "lattice",
 }
 
 
@@ -37,6 +47,56 @@ def _sample_prototype(kind: str, n: int, rng: np.random.RandomState) -> np.ndarr
     if kind == "two_clusters":
         c = rng.randint(0, 2, n) * 2.0 - 1.0
         return 0.25 * rng.randn(n, 3) + np.stack([c, c, np.zeros(n)], axis=1) * 0.8
+    if kind == "cylinder":
+        theta = rng.uniform(0, 2 * np.pi, n)
+        return np.stack([np.cos(theta), rng.uniform(-1, 1, n), np.sin(theta)], axis=1)
+    if kind == "torus":
+        u = rng.uniform(0, 2 * np.pi, n)
+        v = rng.uniform(0, 2 * np.pi, n)
+        r, R = 0.3, 0.7
+        return np.stack(
+            [(R + r * np.cos(v)) * np.cos(u), r * np.sin(v), (R + r * np.cos(v)) * np.sin(u)],
+            axis=1,
+        )
+    if kind == "cone":
+        h = rng.uniform(0, 1, n)
+        theta = rng.uniform(0, 2 * np.pi, n)
+        return np.stack(
+            [(1 - h) * np.cos(theta), 2 * h - 1, (1 - h) * np.sin(theta)], axis=1
+        )
+    if kind == "helix":
+        t = rng.uniform(-2 * np.pi, 2 * np.pi, n)
+        return np.stack(
+            [0.8 * np.cos(t), t / (2 * np.pi), 0.8 * np.sin(t)], axis=1
+        ) + 0.03 * rng.randn(n, 3)
+    if kind == "cross":
+        axis = rng.randint(0, 3, n)
+        p = 0.08 * rng.randn(n, 3)
+        p[np.arange(n), axis] = rng.uniform(-1, 1, n)
+        return p
+    if kind == "shell":
+        v = rng.randn(n, 3)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return v * rng.uniform(0.8, 1.0, (n, 1))
+    if kind == "ellipsoid":
+        v = rng.randn(n, 3)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return v * np.array([1.0, 0.4, 0.7])
+    if kind == "pyramid":
+        h = rng.uniform(0, 1, n)
+        side = 1 - h
+        return np.stack(
+            [rng.uniform(-1, 1, n) * side, 2 * h - 1, rng.uniform(-1, 1, n) * side],
+            axis=1,
+        )
+    if kind == "rings":
+        which = rng.randint(0, 2, n)
+        theta = rng.uniform(0, 2 * np.pi, n)
+        y = np.where(which == 0, -0.6, 0.6)
+        return np.stack([np.cos(theta), y, np.sin(theta)], axis=1) + 0.02 * rng.randn(n, 3)
+    if kind == "lattice":
+        g = rng.randint(0, 3, (n, 3)) - 1.0
+        return g * 0.7 + 0.07 * rng.randn(n, 3)
     raise ValueError(kind)
 
 

@@ -74,6 +74,10 @@ class TrainerConfig:
     augment_jitter: bool = True
     model_kwargs: dict = field(default_factory=dict)
     checkpoint_every: int = 1
+    # Keep the whole training set in HBM and run each epoch as ONE jitted
+    # program (no per-batch host traffic).  Disable for datasets larger than
+    # device memory or for bit-level host-RNG parity studies.
+    device_resident: bool = True
 
     @property
     def jnp_dtype(self):
@@ -249,6 +253,78 @@ class Trainer:
             out["parts"] = jnp.asarray(batch["parts"], jnp.int32)
         return out
 
+    # --------------------------------------------------- device-resident epochs
+
+    def upload_dataset(self, data: dict) -> dict:
+        """Place a full (small) dataset in device HBM, replicated, for the
+        whole-epoch-in-one-jit fast path.  ScanObjectNN is ~300 MB at
+        2048 pts — resident is the TPU-native answer to the reference's
+        per-batch feed_dict uploads."""
+        out = {"points": jax.device_put(jnp.asarray(data["points"], jnp.float32), self._repl)}
+        out["labels"] = jax.device_put(jnp.asarray(data["labels"], jnp.int32), self._repl)
+        for k in ("masks", "parts"):
+            if data.get(k) is not None:
+                out[k] = jax.device_put(jnp.asarray(data[k], jnp.int32), self._repl)
+        return out
+
+    def _epoch_impl(self, state: TrainState, data: dict, rng: jax.Array):
+        """One full training epoch as a single XLA program: on-device
+        per-epoch point permutation (shared across clouds, matching
+        data_utils.py:171-186), cloud-order shuffle, and a fori_loop over
+        batches with on-device metric accumulation."""
+        cfg = self.config
+        n_total = data["labels"].shape[0]
+        n_batches = n_total // cfg.batch_size
+        epoch_key = jax.random.fold_in(rng, state.step)
+        k_pts, k_order = jax.random.split(epoch_key)
+        pt_perm = jax.random.permutation(k_pts, data["points"].shape[1])[: cfg.num_point]
+        order = jax.random.permutation(k_order, n_total)
+
+        view = {"points": data["points"][order][:, pt_perm, :]}
+        view["labels"] = data["labels"][order]
+        if "masks" in data:
+            view["masks"] = data["masks"][order][:, pt_perm]
+        if "parts" in data:
+            view["parts"] = data["parts"][order][:, pt_perm]
+
+        def body(i, carry):
+            state, sums = carry
+            batch = {
+                k: jax.lax.dynamic_slice_in_dim(v, i * cfg.batch_size, cfg.batch_size)
+                for k, v in view.items()
+            }
+            state, metrics = self._train_step_impl(state, batch, rng)
+            sums = {k: sums[k] + metrics[k].astype(jnp.float32) for k in sums}
+            return state, sums
+
+        zero_metrics = jax.eval_shape(
+            lambda s: self._train_step_impl(
+                s, {k: v[: cfg.batch_size] for k, v in view.items()}, rng
+            )[1],
+            state,
+        )
+        sums0 = {k: jnp.zeros((), jnp.float32) for k in zero_metrics}
+        state, sums = jax.lax.fori_loop(0, n_batches, body, (state, sums0))
+        return state, sums, jnp.asarray(n_batches, jnp.float32)
+
+    def train_epoch_device(self, state: TrainState, device_data: dict, rng: jax.Array):
+        """Fast path: the whole epoch is one jitted program over the
+        HBM-resident dataset — no host↔device traffic per step.  Epoch
+        shuffling uses jax RNG (statistically equivalent to, not bit-equal
+        with, the host EpochSampler's numpy shuffles)."""
+        if not hasattr(self, "_epoch_jit"):
+            self._epoch_jit = jax.jit(self._epoch_impl, donate_argnums=(0,))
+        state, sums, n_batches = self._epoch_jit(state, device_data, rng)
+        nb = float(n_batches)
+        summary = {"mean_loss": float(sums.get("loss", 0.0)) / max(nb, 1.0)}
+        if "correct" in sums:
+            summary["accuracy"] = float(sums["correct"]) / max(float(sums["count"]), 1.0)
+        if "seg_correct" in sums:
+            summary["seg_accuracy"] = float(sums["seg_correct"]) / max(
+                float(sums["seg_count"]), 1.0
+            )
+        return state, summary
+
     def train_epoch(self, state: TrainState, sampler: EpochSampler, rng: jax.Array):
         view = sampler.epoch()
         totals: dict[str, float] = {}
@@ -379,14 +455,21 @@ class Trainer:
             f"model={cfg.model} params={self.param_count(state):,} "
             f"devices={len(self.mesh.devices.flatten())}"
         )
-        sampler = EpochSampler(
-            train_data["points"], train_data["labels"],
-            masks=train_data.get("masks"), parts=train_data.get("parts"),
-            num_points=cfg.num_point, seed=cfg.seed,
-        )
+        if cfg.device_resident:
+            device_data = self.upload_dataset(train_data)
+            sampler = None
+        else:
+            sampler = EpochSampler(
+                train_data["points"], train_data["labels"],
+                masks=train_data.get("masks"), parts=train_data.get("parts"),
+                num_points=cfg.num_point, seed=cfg.seed,
+            )
         for epoch in range(cfg.max_epoch):
             t0 = time.time()
-            state, summary = self.train_epoch(state, sampler, rng)
+            if sampler is None:
+                state, summary = self.train_epoch_device(state, device_data, rng)
+            else:
+                state, summary = self.train_epoch(state, sampler, rng)
             msg = f"epoch {epoch:03d} " + " ".join(
                 f"{k}={v:.4f}" for k, v in summary.items()
             )

@@ -128,3 +128,48 @@ def test_lr_and_bn_schedules():
     assert float(bn(0)) == pytest.approx(0.5)
     assert float(bn(200_000 // 16)) == pytest.approx(0.75)
     assert float(bn(10**9)) == pytest.approx(0.99)  # clipped ceiling
+
+
+def test_device_resident_epoch_matches_learning():
+    """The whole-epoch-in-one-jit fast path learns like the host path."""
+    cfg = TrainerConfig(
+        model="pointnet_cls_basic", num_classes=3, num_point=48, batch_size=8,
+        learning_rate=3e-3, device_resident=True,
+    )
+    trainer = Trainer(cfg)
+    data = _dataset()
+    device_data = trainer.upload_dataset(data)
+    state = trainer.init_state(0)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(8):
+        state, summary = trainer.train_epoch_device(state, device_data, rng)
+        losses.append(summary["mean_loss"])
+    assert losses[-1] < losses[0], losses
+    ev = trainer.evaluate(state, data["points"], data["labels"], num_votes=1)
+    assert ev["accuracy"] > 0.55
+
+
+def test_device_resident_seg_epoch():
+    cfg = TrainerConfig(
+        model="pointnet_seg", num_classes=3, num_point=48, batch_size=8,
+        device_resident=True,
+    )
+    trainer = Trainer(cfg)
+    data = _dataset(with_mask=True)
+    device_data = trainer.upload_dataset(data)
+    state = trainer.init_state(0)
+    state, summary = trainer.train_epoch_device(state, device_data, jax.random.PRNGKey(0))
+    assert np.isfinite(summary["mean_loss"])
+    assert "seg_accuracy" in summary
+
+
+def test_synthetic_fifteen_classes():
+    from scanobjectnn_tpu.data import synthetic
+
+    pts, labels = synthetic.make_synthetic_dataset(
+        num_per_class=2, num_classes=15, num_points=64
+    )
+    assert pts.shape == (30, 64, 3)
+    assert set(labels.tolist()) == set(range(15))
+    assert np.isfinite(pts).all()
