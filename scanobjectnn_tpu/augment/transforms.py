@@ -318,3 +318,35 @@ def pointcnn_augment(
         )
         out = out + noise
     return out
+
+
+def starve_gaussians(
+    key: jax.Array,
+    points: jnp.ndarray,
+    gmm_means: jnp.ndarray,
+    n_points: int,
+    starve_coef: float = 0.6,
+) -> jnp.ndarray:
+    """Subsample with region-specific sparsity (3DmFV-Net/provider.py:182-211):
+    each point's survival score is a uniform draw scaled by its nearest
+    gaussian's coefficient (1 or ``starve_coef``, chosen at random per
+    gaussian); the top ``n_points`` scores survive.
+
+    Args:
+      points: [B, N, 3]; gmm_means: [G, 3]; returns [B, n_points, 3].
+    """
+    b, n, _ = points.shape
+    g = gmm_means.shape[0]
+    k_sk, k_rx = jax.random.split(key)
+    d = jnp.sum(
+        jnp.square(points[:, :, None, :] - gmm_means[None, None]), axis=-1
+    )  # [B, N, G]
+    nearest = jnp.argmin(d, axis=2)  # [B, N]
+    sk = jnp.where(
+        jax.random.bernoulli(k_sk, 0.5, (g,)), 1.0, starve_coef
+    ).astype(points.dtype)
+    p = sk[nearest] * jax.random.uniform(k_rx, (b, n), points.dtype)
+    _, top_idx = jax.lax.top_k(p, n_points)  # [B, n_points]
+    from scanobjectnn_tpu.ops.grouping import batched_index_gather
+
+    return batched_index_gather(points, top_idx)
