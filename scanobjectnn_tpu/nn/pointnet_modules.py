@@ -50,10 +50,10 @@ def sample_and_group(
     new_xyz = ops.gather_point(xyz, fps_idx)
     if knn:
         _, idx = ops.knn_point(nsample, xyz, new_xyz)
+        grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
     else:
-        idx, _ = ops.query_ball_point(radius, nsample, xyz, new_xyz)
-    grouped_xyz = ops.group_point(xyz, idx)  # [B, np, ns, 3]
-    grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
+        # Fused ball query + centered grouping (Pallas on TPU for large N).
+        grouped_xyz, idx, _ = ops.query_ball_group(radius, nsample, xyz, new_xyz)
     if points is not None:
         grouped_points = ops.group_point(points, idx)
         if use_xyz:

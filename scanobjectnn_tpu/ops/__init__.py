@@ -13,6 +13,7 @@ from scanobjectnn_tpu.ops.fps import farthest_point_sample, gather_point, prob_s
 from scanobjectnn_tpu.ops.grouping import (
     pairwise_squared_distance,
     query_ball_point,
+    query_ball_group,
     group_point,
     knn_point,
     knn_graph,
@@ -25,6 +26,7 @@ __all__ = [
     "prob_sample",
     "pairwise_squared_distance",
     "query_ball_point",
+    "query_ball_group",
     "group_point",
     "knn_point",
     "knn_graph",

@@ -170,3 +170,27 @@ def knn_graph(features: jnp.ndarray, k: int) -> jnp.ndarray:
     d2 = pairwise_squared_distance(features, features)
     _, idx = lax.top_k(-d2, k)
     return idx.astype(jnp.int32)
+
+
+def query_ball_group(
+    radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Ball query + centered grouping of the coordinates in one op:
+    returns (grouped_xyz[B,M,K,3] == group_point(xyz, idx) − new_xyz[:,:,None],
+    idx, pts_cnt).
+
+    On TPU with N >= 1024 this dispatches to the fused Pallas kernel, which
+    emits the grouped coordinates from the same selection rounds (no separate
+    gather).  NOTE: the fused path is not differentiable w.r.t. ``xyz`` — in
+    the SA stack coordinates are data leaves, so no gradient flows there; use
+    the lax path for exotic uses needing coordinate gradients.
+    """
+    from scanobjectnn_tpu.ops.fps import _use_pallas
+
+    if _use_pallas() and xyz.shape[1] >= 1024:
+        from scanobjectnn_tpu.ops.pallas.ballquery_kernel import query_ball_group_pallas
+
+        return query_ball_group_pallas(radius, nsample, xyz, new_xyz)
+    idx, cnt = query_ball_point(radius, nsample, xyz, new_xyz)
+    grouped = group_point(xyz, idx) - new_xyz[:, :, None, :]
+    return grouped, idx, cnt

@@ -12,6 +12,12 @@ read of the cloud, one write of the [T, K] indices.
 
 Distance formulation: direct (q − p)² differences (exact at zero, like the
 CUDA kernel) rather than the |a|²−2ab+|b|² expansion — self-hits are exact.
+
+``query_ball_group_pallas`` additionally emits the CENTERED grouped
+coordinates (the ``group_point(xyz, idx) − new_xyz`` the SA module needs,
+pointnet_util.py:44-47) from the same min-extraction rounds — each selected
+lane's coordinates drop out of three extra masked reduces per round, removing
+the separate XLA gather (~4.7 ms at SA1 shapes) entirely.
 """
 
 from __future__ import annotations
@@ -99,3 +105,106 @@ def query_ball_pallas(
         interpret=interpret,
     )(xyz_t, new_xyz.astype(jnp.float32))
     return idx, cnt[..., 0]
+
+
+def _ball_group_kernel(
+    xyz_ref, new_xyz_ref, idx_ref, cnt_ref, gx_ref, gy_ref, gz_ref, *, radius, nsample
+):
+    # Like _ball_kernel, but also emits centered grouped coordinates as three
+    # [1, T, K] outputs (a single [T, K, 3] block would pad 3 lanes to 128 —
+    # 42x VMEM waste; the host-side stack to [B, M, K, 3] is one cheap copy).
+    x = xyz_ref[0, 0, :][None, :]
+    y = xyz_ref[0, 1, :][None, :]
+    z = xyz_ref[0, 2, :][None, :]
+    q = new_xyz_ref[0]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+
+    n = x.shape[-1]
+    d2 = (qx - x) ** 2 + (qy - y) ** 2 + (qz - z) ** 2
+    d = jnp.maximum(jnp.sqrt(d2), 1e-20)
+    hit = d < radius
+
+    cnt_total = jnp.sum(hit.astype(jnp.int32), axis=1)
+    cnt_ref[0, :, 0] = jnp.minimum(cnt_total, nsample).astype(jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, hit.shape, dimension=1)
+    big = jnp.int32(n)
+    keys = jnp.where(hit, col, big)
+    cols, gx, gy, gz = [], [], [], []
+    for _ in range(nsample):
+        mk = jnp.min(keys, axis=1)  # [T]
+        sel = keys == mk[:, None]  # one lane per row (or none when exhausted)
+        # Coordinates of the selected lane via masked reduces.
+        gx.append(jnp.sum(jnp.where(sel, x, 0.0), axis=1))
+        gy.append(jnp.sum(jnp.where(sel, y, 0.0), axis=1))
+        gz.append(jnp.sum(jnp.where(sel, z, 0.0), axis=1))
+        cols.append(mk)
+        keys = jnp.where(sel, big, keys)
+    idx = jnp.stack(cols, axis=1)  # [T, K]
+    gx_a = jnp.stack(gx, axis=1)  # [T, K]
+    gy_a = jnp.stack(gy, axis=1)
+    gz_a = jnp.stack(gz, axis=1)
+
+    valid = idx < n  # [T, K]
+    first_hit = jnp.where(cnt_total > 0, idx[:, 0], 0)
+    idx_ref[0, :, :] = jnp.where(valid, idx, first_hit[:, None]).astype(jnp.int32)
+
+    # Padding repeats the FIRST hit's coordinates; rows with zero hits pad
+    # with point 0's coordinates.  All masking stays 2-D per coordinate
+    # (Mosaic cannot broadcast bool vectors into a new trailing dim).
+    has = cnt_total > 0  # [T]
+    fx = jnp.where(has, gx_a[:, 0], x[0, 0])  # [T]
+    fy = jnp.where(has, gy_a[:, 0], y[0, 0])
+    fz = jnp.where(has, gz_a[:, 0], z[0, 0])
+    gx_ref[0, :, :] = jnp.where(valid, gx_a, fx[:, None]) - qx
+    gy_ref[0, :, :] = jnp.where(valid, gy_a, fy[:, None]) - qy
+    gz_ref[0, :, :] = jnp.where(valid, gz_a, fz[:, None]) - qz
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def query_ball_group_pallas(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused ball query + centered grouping.
+
+    Returns (grouped_xyz[B,M,K,3] centered on new_xyz, idx[B,M,K],
+    pts_cnt[B,M]) — grouped_xyz == group_point(xyz, idx) − new_xyz[:, :, None].
+    """
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    tile = m
+    for cand in (128, 64, 32, 16, 8, 4, 2, 1):
+        if m % cand == 0:
+            tile = cand
+            break
+    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))
+    kernel = functools.partial(_ball_group_kernel, radius=radius, nsample=nsample)
+    coord_spec = pl.BlockSpec(
+        (1, tile, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    coord_shape = jax.ShapeDtypeStruct((b, m, nsample), jnp.float32)
+    idx, cnt, gx, gy, gz = pl.pallas_call(
+        kernel,
+        grid=(b, m // tile),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            coord_spec, coord_spec, coord_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
+            coord_shape, coord_shape, coord_shape,
+        ),
+        interpret=interpret,
+    )(xyz_t, new_xyz.astype(jnp.float32))
+    grouped = jnp.stack([gx, gy, gz], axis=-1)
+    return grouped, idx, cnt[..., 0]

@@ -214,3 +214,21 @@ class TestBallQueryPallas:
         idx, cnt = query_ball_pallas(0.1, 4, xyz, far, interpret=True)
         assert (np.asarray(cnt) == 0).all()
         assert (np.asarray(idx) == 0).all()
+
+    def test_fused_group_matches(self, rng):
+        from scanobjectnn_tpu.ops.pallas.ballquery_kernel import query_ball_group_pallas
+        from scanobjectnn_tpu import ops
+
+        xyz = _cloud(rng, b=2, n=64)
+        centers = xyz[:, :16]
+        want_idx, want_cnt = golden.query_ball_golden(0.35, 8, xyz, centers)
+        grouped, idx, cnt = query_ball_group_pallas(
+            0.35, 8, jnp.asarray(xyz), jnp.asarray(centers), interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+        np.testing.assert_array_equal(np.asarray(cnt), want_cnt)
+        want_grouped = (
+            np.asarray(ops.group_point(jnp.asarray(xyz), jnp.asarray(want_idx)))
+            - centers[:, :, None, :]
+        )
+        np.testing.assert_allclose(np.asarray(grouped), want_grouped, atol=1e-6)
