@@ -45,8 +45,40 @@ class EpochSampler:
     def __post_init__(self):
         self._rng = np.random.RandomState(self.seed) if self.seed is not None else np.random
 
+    @property
+    def _is_ragged(self) -> bool:
+        """List-of-arrays input (raw .bin datasets with per-cloud sizes)."""
+        return isinstance(self.data, (list, tuple)) or (
+            isinstance(self.data, np.ndarray) and self.data.dtype == object
+        )
+
     def epoch(self) -> dict[str, np.ndarray]:
-        """One epoch view: shared point permutation + cloud-order shuffle."""
+        """One epoch view.
+
+        Rectangular input (h5): ONE shared point permutation for the whole
+        epoch + cloud-order shuffle (data_utils.py:171-186).  Ragged input
+        (raw .bin clouds of differing sizes): an INDEPENDENT per-cloud point
+        shuffle + subsample, as in get_current_data (data_utils.py:108-131).
+        """
+        if self._is_ragged:
+            sampled = []
+            for pc in self.data:
+                if pc.shape[0] < self.num_points:
+                    raise ValueError(
+                        f"cloud has {pc.shape[0]} < num_points={self.num_points}"
+                    )
+                idx = np.arange(pc.shape[0])
+                if self.shuffle:
+                    self._rng.shuffle(idx)
+                sampled.append(pc[idx[: self.num_points]])
+            out = {"points": np.stack(sampled).astype(np.float32)}
+            order = np.arange(len(self.labels))
+            if self.shuffle:
+                self._rng.shuffle(order)
+            out = {k: v[order] for k, v in out.items()}
+            out["labels"] = np.asarray(self.labels)[order]
+            return out
+
         idx_pts = np.arange(self.data.shape[1])
         if self.shuffle:
             self._rng.shuffle(idx_pts)

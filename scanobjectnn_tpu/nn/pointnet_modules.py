@@ -175,8 +175,7 @@ class SAModuleMSG(nn.Module):
         for i, (radius, nsample, mlp) in enumerate(
             zip(self.radius_list, self.nsample_list, self.mlp_list)
         ):
-            idx, _ = ops.query_ball_point(radius, nsample, xyz, new_xyz)
-            grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
+            grouped_xyz, idx, _ = ops.query_ball_group(radius, nsample, xyz, new_xyz)
             if points is not None:
                 grouped = ops.group_point(points, idx)
                 if self.use_xyz:

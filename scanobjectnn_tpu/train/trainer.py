@@ -455,7 +455,11 @@ class Trainer:
             f"model={cfg.model} params={self.param_count(state):,} "
             f"devices={len(self.mesh.devices.flatten())}"
         )
-        if cfg.device_resident:
+        ragged = isinstance(train_data["points"], (list, tuple)) or (
+            isinstance(train_data["points"], np.ndarray)
+            and train_data["points"].dtype == object
+        )
+        if cfg.device_resident and not ragged:
             device_data = self.upload_dataset(train_data)
             sampler = None
         else:

@@ -120,3 +120,23 @@ def test_split_parsing(tmp_path):
     train, test = splits.split_train_test(entries)
     assert [e.filename for e in train] == ["a.bin", "c.bin"]
     assert test[0].label == 3 and test[0].is_test
+
+
+def test_ragged_epoch_sampler():
+    """Raw .bin datasets have per-cloud sizes; epoch sampling subsamples each
+    cloud independently (ref data_utils.get_current_data:108-131)."""
+    rng = np.random.RandomState(0)
+    pcs = [rng.rand(n, 3).astype(np.float32) for n in (40, 55, 32, 80)]
+    labels = np.array([0, 1, 2, 3])
+    s = pipeline.EpochSampler(pcs, labels, num_points=16, seed=0)
+    view = s.epoch()
+    assert view["points"].shape == (4, 16, 3)
+    assert set(view["labels"].tolist()) == {0, 1, 2, 3}
+    # Sampled points come from the right cloud (values match originals).
+    order = view["labels"]
+    for i, lbl in enumerate(order):
+        src = {tuple(r) for r in pcs[lbl]}
+        assert all(tuple(r) in src for r in view["points"][i])
+    # Too-small clouds raise.
+    with pytest.raises(ValueError):
+        pipeline.EpochSampler([np.zeros((4, 3))], np.array([0]), num_points=16).epoch()
