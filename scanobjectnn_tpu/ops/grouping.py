@@ -161,12 +161,29 @@ def knn_point(
     return -neg_vals, idx.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=1)
 def knn_graph(features: jnp.ndarray, k: int) -> jnp.ndarray:
     """Self-kNN over a feature cloud [B, N, C] -> idx [B, N, k], INCLUDING the
     self edge as the nearest neighbor (DGCNN recomputes this per layer from
     feature space; dgcnn/utils/tf_util.py:638-680 takes top_k of the negated
-    dense distance matrix, so each point's first neighbor is itself)."""
+    dense distance matrix, so each point's first neighbor is itself).
+
+    On TPU with N >= 512 this dispatches to the blocked Pallas kernel — the
+    [B, N, N] distance matrix + XLA top_k otherwise dominates DGCNN training.
+    """
+    from scanobjectnn_tpu.ops.fps import _use_pallas
+
+    if _use_pallas() and features.shape[1] >= 512:
+        from scanobjectnn_tpu.ops.pallas.knn_kernel import knn_graph_pallas
+
+        # Indices are integers — no gradient exists (TF top_k likewise);
+        # stop_gradient on the INPUT keeps tangents out of the Pallas call.
+        return knn_graph_pallas(lax.stop_gradient(features), k)
+    return knn_graph_lax(features, k)
+
+
+@partial(jax.jit, static_argnums=1)
+def knn_graph_lax(features: jnp.ndarray, k: int) -> jnp.ndarray:
+    """lax/XLA self-kNN (dense distance matrix + top_k)."""
     d2 = pairwise_squared_distance(features, features)
     _, idx = lax.top_k(-d2, k)
     return idx.astype(jnp.int32)

@@ -1,0 +1,82 @@
+"""Blocked self-kNN Pallas kernel for DGCNN's dynamic graphs.
+
+Behavioral reference: dgcnn/utils/tf_util.py:638-680 — dense pairwise
+distance matrix + top_k per layer, recomputed from feature space.  XLA's
+top_k over the [B, N, N] matrix dominates DGCNN training (~13 ms per kNN at
+B32/N1024 on v5e; five graphs per forward).
+
+Kernel: grid (batch, query-tile).  The full feature cloud [N, C] stays in
+VMEM; per query tile the [T, N] squared-distance block is one MXU matmul
+plus norms, then k argmin-extraction rounds emit the neighbor indices
+(single-lane extraction via argmin → exact, no tie double-select;
+first-occurrence tie rule matches jnp.argmax/argmin and the reference's
+top_k).  Distances never touch HBM.
+
+The inner product runs in native f32 on the MXU (matching the HIGHEST
+precision of the lax path — bf16 would flip neighbor decisions).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["knn_graph_pallas"]
+
+
+def _knn_kernel(feats_ref, idx_ref, *, k: int, tile: int):
+    # feats_ref: [1, N, C] (whole cloud); idx_ref: [1, T, k] for this tile.
+    j = pl.program_id(1)
+    feats = feats_ref[0]  # [N, C]
+    q = feats_ref[0, pl.ds(j * tile, tile), :]  # [T, C]
+
+    qq = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
+    kk = jnp.sum(feats * feats, axis=1)[None, :]  # [1, N]
+    inner = jax.lax.dot_general(
+        q, feats,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # MXU f32 passes — bf16 flips neighbors
+    )  # [T, N]
+    d2 = qq - 2.0 * inner + kk
+
+    n = d2.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
+    cols = []
+    for _ in range(k):
+        am = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [T]
+        cols.append(am)
+        d2 = jnp.where(col == am[:, None], jnp.inf, d2)
+    idx_ref[0, :, :] = jnp.stack(cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def knn_graph_pallas(
+    features: jnp.ndarray, k: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Self-kNN (self edge included): [B, N, C] -> int32 [B, N, k]."""
+    b, n, c = features.shape
+    tile = n
+    for cand in (256, 128, 64, 32, 16, 8):
+        if n % cand == 0:
+            tile = cand
+            break
+    kernel = functools.partial(_knn_kernel, k=k, tile=tile)
+    idx = pl.pallas_call(
+        kernel,
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+        interpret=interpret,
+    )(features.astype(jnp.float32))
+    return lax.stop_gradient(idx)

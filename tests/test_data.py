@@ -140,3 +140,26 @@ def test_ragged_epoch_sampler():
     # Too-small clouds raise.
     with pytest.raises(ValueError):
         pipeline.EpochSampler([np.zeros((4, 3))], np.array([0]), num_points=16).epoch()
+
+
+def test_load_data_pickle_of_bins(tmp_path):
+    """End-to-end raw-dataset path: pickled entry list -> per-file .bin parse
+    (ref data_utils.load_data:77-106, incl. the too-few-points drop rule)."""
+    import pickle
+
+    rng = np.random.RandomState(0)
+    entries = []
+    for i, n in enumerate((30, 40, 4)):  # third is dropped (< num_points)
+        rows = np.zeros((n, 11), dtype=np.float32)
+        rows[:, 0:3] = rng.rand(n, 3)
+        rows[:, -1] = 5
+        raw = np.concatenate([[np.float32(n)], rows.flatten()]).astype(np.float32)
+        fname = f"obj{i}.bin"
+        raw.tofile(str(tmp_path / fname))
+        entries.append({"filename": f"objects_bin/{fname}", "label": i})
+    pkl = str(tmp_path / "dataset.pickle")
+    with open(pkl, "wb") as f:
+        pickle.dump(entries, f)
+    pcs, labels = io.load_data(pkl, num_points=16, data_dir=str(tmp_path))
+    assert len(pcs) == 2 and labels == [0, 1]
+    assert pcs[0].shape == (30, 3) and pcs[1].shape == (40, 3)

@@ -232,3 +232,21 @@ class TestBallQueryPallas:
             - centers[:, :, None, :]
         )
         np.testing.assert_allclose(np.asarray(grouped), want_grouped, atol=1e-6)
+
+
+class TestKNNPallas:
+    def test_matches_lax(self, rng):
+        from scanobjectnn_tpu.ops.pallas.knn_kernel import knn_graph_pallas
+        from scanobjectnn_tpu.ops.grouping import knn_graph_lax
+
+        feats = jnp.asarray(rng.rand(2, 128, 16).astype(np.float32))
+        a = np.asarray(knn_graph_lax(feats, 8))
+        b = np.asarray(knn_graph_pallas(feats, 8, interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_self_first(self, rng):
+        from scanobjectnn_tpu.ops.pallas.knn_kernel import knn_graph_pallas
+
+        feats = jnp.asarray(rng.rand(2, 64, 8).astype(np.float32))
+        idx = np.asarray(knn_graph_pallas(feats, 4, interpret=True))
+        np.testing.assert_array_equal(idx[..., 0], np.arange(64)[None].repeat(2, 0))
