@@ -128,7 +128,9 @@ class SpiderCNNCls(nn.Module):
         b = points.shape[0]
         # One kNN on xyz, reused by every layer (includes self as first hit —
         # the reference's knn_point over identical sets behaves the same).
-        _, idx = ops.knn_point(self.nsample, points, points)
+        # knn_graph == knn_point(k, x, x).idx and dispatches to the Pallas
+        # kernel on TPU.
+        idx = ops.knn_graph(points, self.nsample)
         grouped_xyz = ops.group_point(points, idx)
         delta = grouped_xyz - points[:, :, None, :]  # [B, N, K, 3]
 

@@ -19,6 +19,7 @@ from scanobjectnn_tpu.ops.grouping import (
     knn_graph,
 )
 from scanobjectnn_tpu.ops.interpolate import three_nn, three_interpolate
+from scanobjectnn_tpu.ops.emd import auction_match, emd_loss
 
 __all__ = [
     "farthest_point_sample",
@@ -32,4 +33,6 @@ __all__ = [
     "knn_graph",
     "three_nn",
     "three_interpolate",
+    "auction_match",
+    "emd_loss",
 ]
