@@ -13,7 +13,6 @@ All functions take ``points`` of shape [B, N, 3] (float) and a jax PRNG key.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Sequence
 
 import jax

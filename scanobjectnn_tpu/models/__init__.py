@@ -12,7 +12,7 @@ metrics)``.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Any
 
 from scanobjectnn_tpu.models import losses  # noqa: F401
 from scanobjectnn_tpu.models.pointnet import (

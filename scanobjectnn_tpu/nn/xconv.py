@@ -20,7 +20,6 @@ mask; PointCNN's dynamic batch dim N=tf.shape(...) becomes static B.
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
