@@ -146,7 +146,6 @@ def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return batched_index_gather(points, idx)
 
 
-@partial(jax.jit, static_argnums=0)
 def knn_point(
     k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -154,8 +153,23 @@ def knn_point(
 
     Returns ``(dist[B, M, k], idx[B, M, k])`` with SQUARED distances in
     ascending order (the reference's selection sort operates on the squared
-    distance matrix built in tf_grouping.py:49-74).
+    distance matrix built in tf_grouping.py:49-74).  Dispatches to the
+    blocked Pallas kernel on TPU for large key sets.
     """
+    from scanobjectnn_tpu.ops.fps import _use_pallas
+
+    if _use_pallas() and xyz.shape[1] >= 512 and new_xyz.shape[1] % 8 == 0:
+        from scanobjectnn_tpu.ops.pallas.knn_kernel import knn_point_pallas
+
+        return knn_point_pallas(lax.stop_gradient(new_xyz), lax.stop_gradient(xyz), k)
+    return knn_point_lax(k, xyz, new_xyz)
+
+
+@partial(jax.jit, static_argnums=0)
+def knn_point_lax(
+    k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """lax/XLA kNN (dense distance matrix + top_k)."""
     d2 = pairwise_squared_distance(new_xyz, xyz)  # [B, M, N]
     neg_vals, idx = lax.top_k(-d2, k)
     return -neg_vals, idx.astype(jnp.int32)

@@ -30,8 +30,18 @@ def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> tuple[jnp.ndarray, jnp.nda
 
     Returns ``(dist[B, N, 3], idx[B, N, 3])``, ascending by distance.
     """
+    m = xyz2.shape[1]
+    if m >= 512 and xyz1.shape[1] % 8 == 0:
+        from scanobjectnn_tpu.ops.fps import _use_pallas
+
+        if _use_pallas():
+            from scanobjectnn_tpu.ops.pallas.knn_kernel import knn_point_pallas
+
+            dist, idx = knn_point_pallas(
+                lax.stop_gradient(xyz1), lax.stop_gradient(xyz2), 3
+            )
+            return lax.stop_gradient(dist), lax.stop_gradient(idx)
     d2 = pairwise_squared_distance(xyz1, xyz2)  # [B, N, M]
-    m = d2.shape[-1]
     if m >= 3:
         neg_vals, idx = lax.top_k(-d2, 3)
         dist, idx = -neg_vals, idx.astype(jnp.int32)

@@ -80,3 +80,60 @@ def knn_graph_pallas(
         interpret=interpret,
     )(features.astype(jnp.float32))
     return lax.stop_gradient(idx)
+
+
+def _knn_general_kernel(q_ref, keys_ref, dist_ref, idx_ref, *, k: int):
+    # q_ref: [1, T, C] query tile; keys_ref: [1, N, C]; outputs [1, T, k].
+    q = q_ref[0]  # [T, C]
+    keys = keys_ref[0]  # [N, C]
+    qq = jnp.sum(q * q, axis=1, keepdims=True)
+    kk = jnp.sum(keys * keys, axis=1)[None, :]
+    inner = jax.lax.dot_general(
+        q, keys,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = jnp.maximum(qq - 2.0 * inner + kk, 0.0)  # match lax path's clamp
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
+    idx_cols, dist_cols = [], []
+    for _ in range(k):
+        am = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [T]
+        dist_cols.append(jnp.min(d2, axis=1))
+        idx_cols.append(am)
+        d2 = jnp.where(col == am[:, None], jnp.inf, d2)
+    dist_ref[0, :, :] = jnp.stack(dist_cols, axis=1)
+    idx_ref[0, :, :] = jnp.stack(idx_cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def knn_point_pallas(
+    queries: jnp.ndarray, keys: jnp.ndarray, k: int, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """General kNN: ([B,M,C] queries, [B,N,C] keys) -> (d²[B,M,k], idx[B,M,k]),
+    ascending squared distances — the knn_point / three_nn contract."""
+    b, m, c = queries.shape
+    n = keys.shape[1]
+    tile = m
+    for cand in (256, 128, 64, 32, 16, 8):
+        if m % cand == 0:
+            tile = cand
+            break
+    kernel = functools.partial(_knn_general_kernel, k=k)
+    out_spec = pl.BlockSpec((1, tile, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=(b, m // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, k), jnp.int32),
+        ),
+        interpret=interpret,
+    )(queries.astype(jnp.float32), keys.astype(jnp.float32))
+    return dist, idx

@@ -250,3 +250,14 @@ class TestKNNPallas:
         feats = jnp.asarray(rng.rand(2, 64, 8).astype(np.float32))
         idx = np.asarray(knn_graph_pallas(feats, 4, interpret=True))
         np.testing.assert_array_equal(idx[..., 0], np.arange(64)[None].repeat(2, 0))
+
+    def test_general_knn_matches(self, rng):
+        from scanobjectnn_tpu.ops.pallas.knn_kernel import knn_point_pallas
+        from scanobjectnn_tpu.ops.grouping import knn_point_lax
+
+        q = jnp.asarray(_cloud(rng, b=2, n=64))
+        keys = jnp.asarray(_cloud(rng, b=2, n=96))
+        d1, i1 = knn_point_lax(5, keys, q)
+        d2, i2 = knn_point_pallas(q, keys, 5, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
