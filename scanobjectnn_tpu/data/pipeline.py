@@ -38,6 +38,7 @@ class EpochSampler:
     labels: np.ndarray  # [B]
     masks: np.ndarray | None = None  # [B, N_total]
     parts: np.ndarray | None = None  # [B, N_total]
+    types: np.ndarray | None = None  # [B] (discriminator model-type labels)
     num_points: int = 1024
     shuffle: bool = True
     seed: int | None = None
@@ -96,6 +97,10 @@ class EpochSampler:
             self._rng.shuffle(idx)
         out = {k: v[idx] for k, v in out.items()}
         out["labels"] = self.labels[idx]
+        if self.types is not None:
+            # Per-cloud model-type labels, co-shuffled with cloud order
+            # (ref data_utils.get_current_data_discriminator_h5:236-251).
+            out["types"] = np.asarray(self.types)[idx]
         return out
 
 

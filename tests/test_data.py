@@ -163,3 +163,15 @@ def test_load_data_pickle_of_bins(tmp_path):
     pcs, labels = io.load_data(pkl, num_points=16, data_dir=str(tmp_path))
     assert len(pcs) == 2 and labels == [0, 1]
     assert pcs[0].shape == (30, 3) and pcs[1].shape == (40, 3)
+
+
+def test_discriminator_types_cosampled():
+    """Model-type labels shuffle with cloud order
+    (ref get_current_data_discriminator_h5)."""
+    rng = np.random.RandomState(0)
+    data = rng.rand(6, 20, 3).astype(np.float32)
+    labels = np.arange(6)
+    types = np.arange(6) * 10
+    s = pipeline.EpochSampler(data, labels, types=types, num_points=8, seed=0)
+    view = s.epoch()
+    np.testing.assert_array_equal(view["types"], view["labels"] * 10)
