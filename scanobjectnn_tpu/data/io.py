@@ -117,7 +117,10 @@ def load_pc_file(
     if with_bg:
         return np.array(pc[:, 0:3])
     sem = pc[:, -1]
-    fg = sem > 2  # classes 0,1,2 are wall/floor/ceiling background
+    # Match the reference's intersect filter exactly (!=0, !=1, !=2 —
+    # wall/floor/ceiling): negative semantic labels (e.g. -1 unannotated)
+    # stay foreground candidates, so `sem > 2` would drop them.
+    fg = ~np.isin(sem, (0.0, 1.0, 2.0))
     if not np.any(fg):
         return np.empty((0, 3), dtype=np.float32)
     values, counts = np.unique(sem[fg], return_counts=True)

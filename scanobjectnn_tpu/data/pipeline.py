@@ -24,7 +24,7 @@ from typing import Iterator
 
 import numpy as np
 
-__all__ = ["EpochSampler", "Batches", "pad_or_trim_batch"]
+__all__ = ["EpochSampler", "Batches", "pad_or_trim_batch", "padded_batches"]
 
 
 @dataclass
@@ -62,8 +62,13 @@ class EpochSampler:
         shuffle + subsample, as in get_current_data (data_utils.py:108-131).
         """
         if self._is_ragged:
+            # Per-cloud point shuffle + subsample (data_utils.py:108-131).
+            # Masks/parts are co-sampled with the same per-cloud permutation;
+            # types are per-cloud scalars, co-shuffled with cloud order.
             sampled = []
-            for pc in self.data:
+            sampled_masks = [] if self.masks is not None else None
+            sampled_parts = [] if self.parts is not None else None
+            for i, pc in enumerate(self.data):
                 if pc.shape[0] < self.num_points:
                     raise ValueError(
                         f"cloud has {pc.shape[0]} < num_points={self.num_points}"
@@ -71,13 +76,24 @@ class EpochSampler:
                 idx = np.arange(pc.shape[0])
                 if self.shuffle:
                     self._rng.shuffle(idx)
-                sampled.append(pc[idx[: self.num_points]])
+                take = idx[: self.num_points]
+                sampled.append(pc[take])
+                if sampled_masks is not None:
+                    sampled_masks.append(np.asarray(self.masks[i])[take])
+                if sampled_parts is not None:
+                    sampled_parts.append(np.asarray(self.parts[i])[take])
             out = {"points": np.stack(sampled).astype(np.float32)}
+            if sampled_masks is not None:
+                out["masks"] = np.stack(sampled_masks)
+            if sampled_parts is not None:
+                out["parts"] = np.stack(sampled_parts)
             order = np.arange(len(self.labels))
             if self.shuffle:
                 self._rng.shuffle(order)
             out = {k: v[order] for k, v in out.items()}
             out["labels"] = np.asarray(self.labels)[order]
+            if self.types is not None:
+                out["types"] = np.asarray(self.types)[order]
             return out
 
         idx_pts = np.arange(self.data.shape[1])
@@ -132,6 +148,25 @@ class Batches:
         bs = self.batch_size
         for i in range(self.num_batches):
             yield {k: v[i * bs : (i + 1) * bs] for k, v in self.view.items()}
+
+
+def padded_batches(
+    epoch_view: dict[str, np.ndarray], batch_size: int
+) -> Iterator[tuple[dict[str, np.ndarray], int]]:
+    """Iterate fixed-size batches WITHOUT dropping the remainder: the final
+    partial batch is padded up to ``batch_size`` (repeating its last row) and
+    yielded with its valid count so callers mask padded rows out of every
+    tally.  The reference sidesteps remainders by evaluating at BATCH_SIZE=1
+    (evaluate_scenennobjects.py:29) — same samples seen, zero dropped.
+    """
+    n = len(epoch_view["labels"])
+    bs = batch_size
+    for i in range(0, n, bs):
+        chunk = {k: v[i : i + bs] for k, v in epoch_view.items()}
+        valid = len(chunk["labels"])
+        if valid < bs:
+            chunk = {k: pad_or_trim_batch(v, bs) for k, v in chunk.items()}
+        yield chunk, valid
 
 
 def shard_batch(batch: dict, sharding) -> dict:

@@ -9,7 +9,12 @@ have Pallas TPU kernels (ops.pallas) selected via ``set_backend`` /
 ``SCANOBJECTNN_OPS_BACKEND`` env var.
 """
 
-from scanobjectnn_tpu.ops.fps import farthest_point_sample, gather_point, prob_sample
+from scanobjectnn_tpu.ops.fps import (
+    farthest_point_sample,
+    gather_point,
+    prob_sample,
+    prob_sample_pdf,
+)
 from scanobjectnn_tpu.ops.grouping import (
     pairwise_squared_distance,
     query_ball_point,
@@ -25,6 +30,7 @@ __all__ = [
     "farthest_point_sample",
     "gather_point",
     "prob_sample",
+    "prob_sample_pdf",
     "pairwise_squared_distance",
     "query_ball_point",
     "query_ball_group",

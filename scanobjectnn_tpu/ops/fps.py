@@ -31,7 +31,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["farthest_point_sample", "farthest_point_sample_lax", "gather_point", "prob_sample"]
+__all__ = [
+    "farthest_point_sample",
+    "farthest_point_sample_lax",
+    "gather_point",
+    "prob_sample",
+    "prob_sample_pdf",
+]
 
 # Backend dispatch: 'auto' uses the Pallas kernel on TPU and lax elsewhere;
 # override with SCANOBJECTNN_OPS_BACKEND={auto,lax,pallas}.
@@ -126,3 +132,21 @@ def prob_sample(cumprob: jnp.ndarray, uniforms: jnp.ndarray) -> jnp.ndarray:
     find = jax.vmap(lambda cdf, u: jnp.searchsorted(cdf, u, side="left"))
     idx = find(cumprob, uniforms)
     return jnp.minimum(idx, cumprob.shape[-1] - 1).astype(jnp.int32)
+
+
+def prob_sample_pdf(pdf: jnp.ndarray, uniforms: jnp.ndarray) -> jnp.ndarray:
+    """Reference-shaped adapter: takes the *unnormalized* pdf and cumsums on
+    device before the binary search, exactly like the ProbSample wrapper
+    (tf_sampling.py:14-23 feeds the raw pdf; the kernel's block scan is the
+    cumsum, tf_sampling_g.cu:7-104).  ``uniforms`` are draws in [0, 1) scaled
+    by the total mass.
+
+    Args:
+      pdf: [B, N] nonnegative unnormalized weights.
+      uniforms: [B, M] uniform samples in [0, 1).
+
+    Returns:
+      idx: [B, M] int32 sampled category per draw.
+    """
+    cdf = jnp.cumsum(pdf.astype(jnp.float32), axis=-1)
+    return prob_sample(cdf, uniforms * cdf[..., -1:])

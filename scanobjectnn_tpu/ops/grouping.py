@@ -155,6 +155,14 @@ def knn_point(
     ascending order (the reference's selection sort operates on the squared
     distance matrix built in tf_grouping.py:49-74).  Dispatches to the
     blocked Pallas kernel on TPU for large key sets.
+
+    NOT differentiable: the reference op has no gradient (SelectionSort is
+    index selection; tf_grouping.py registers none), and the Pallas path
+    stop_gradients both point sets — so returned distances carry ZERO
+    gradient on TPU.  The lax fallback happens to be differentiable in its
+    distances; do not rely on that (it is backend/shape dependent via the
+    dispatch guard).  Use ``group_point`` on the indices for differentiable
+    neighbor features.
     """
     from scanobjectnn_tpu.ops.fps import _use_pallas
 

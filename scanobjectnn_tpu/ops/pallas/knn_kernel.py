@@ -43,7 +43,7 @@ def _knn_kernel(feats_ref, idx_ref, *, k: int, tile: int):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,  # MXU f32 passes — bf16 flips neighbors
     )  # [T, N]
-    d2 = qq - 2.0 * inner + kk
+    d2 = jnp.maximum(qq - 2.0 * inner + kk, 0.0)  # match lax path's clamp
 
     n = d2.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)

@@ -274,7 +274,13 @@ class Trainer:
         cfg = self.config
         n_total = data["labels"].shape[0]
         n_batches = n_total // cfg.batch_size
-        epoch_key = jax.random.fold_in(rng, state.step)
+        # Distinct stream from the per-step keys: fold_in(rng, state.step)
+        # alone would be bit-identical to the FIRST batch's step_rng in
+        # _train_step_impl (same split → epoch point-permutation key ==
+        # first batch's augmentation key every epoch).
+        epoch_key = jax.random.fold_in(
+            jax.random.fold_in(rng, 0xE70C), state.step
+        )
         k_pts, k_order = jax.random.split(epoch_key)
         pt_perm = jax.random.permutation(k_pts, data["points"].shape[1])[: cfg.num_point]
         order = jax.random.permutation(k_order, n_total)
@@ -356,7 +362,14 @@ class Trainer:
     ) -> dict:
         """Voting evaluation (evaluate_scenennobjects.py:152-231): per batch,
         sum logits over ``num_votes`` uniformly spaced y-rotations, argmax,
-        tally overall + per-class (+ seg) accuracy."""
+        tally overall + per-class (+ seg) accuracy.
+
+        No sample is dropped: the final partial batch is padded (repeating
+        its last row) and padded rows are masked out of every accuracy tally,
+        so ``total_seen == len(data)`` at any batch size — matching the
+        reference's BATCH_SIZE=1 protocol exactly for accuracies.  The one
+        approximation: the padded batch's loss contribution uses the padded
+        batch mean (loss is informational; exact at batch_size 1)."""
         cfg = self.config
         sampler = EpochSampler(
             data, labels, masks=masks, parts=parts,
@@ -374,24 +387,25 @@ class Trainer:
         all_pred = []
         all_label = []
         all_seg_pred = []
-        for batch in Batches(view, cfg.batch_size):
-            bsz = len(batch["labels"])
-            pred_sum = np.zeros((bsz, num_classes), np.float32)
+        from scanobjectnn_tpu.data.pipeline import padded_batches
+
+        for batch, valid in padded_batches(view, cfg.batch_size):
+            pred_sum = np.zeros((valid, num_classes), np.float32)
             batch_loss = 0.0
             seg_logits_sum = None
             for vote_idx in range(num_votes):
                 angle = vote_idx / float(num_votes) * 2.0 * np.pi
                 out = self.eval_step(state, batch, rotate_angle=angle)
                 if "logits" in out:
-                    pred_sum += np.asarray(out["logits"], np.float32)
+                    pred_sum += np.asarray(out["logits"], np.float32)[:valid]
                 if "seg_logits" in out:
-                    s = np.asarray(out["seg_logits"], np.float32)
+                    s = np.asarray(out["seg_logits"], np.float32)[:valid]
                     seg_logits_sum = s if seg_logits_sum is None else seg_logits_sum + s
-                batch_loss += float(out["loss"]) * bsz / num_votes
+                batch_loss += float(out["loss"]) * valid / num_votes
             loss_sum += batch_loss
             if "logits" in out:
                 pred = np.argmax(pred_sum, axis=1)
-                labels_np = np.asarray(batch["labels"])
+                labels_np = np.asarray(batch["labels"])[:valid]
                 total_correct += int((pred == labels_np).sum())
                 for p, l in zip(pred, labels_np):
                     seen_class[l] += 1
@@ -404,9 +418,9 @@ class Trainer:
                     all_seg_pred.append(seg_pred)
                 target = batch.get("masks", batch.get("parts"))
                 if target is not None:
-                    seg_correct += int((seg_pred == np.asarray(target)).sum())
+                    seg_correct += int((seg_pred == np.asarray(target)[:valid]).sum())
                     seg_seen += seg_pred.size
-            total_seen += bsz
+            total_seen += valid
 
         results: dict[str, Any] = {
             "total_seen": total_seen,
@@ -425,11 +439,11 @@ class Trainer:
         if seg_seen:
             results["seg_accuracy"] = seg_correct / seg_seen
         if keep_points:
-            # The evaluated samples in eval order (for error-case dumps).
-            n_eval = (len(view["labels"]) // cfg.batch_size) * cfg.batch_size
-            results["points"] = view["points"][:n_eval]
+            # The evaluated samples in eval order (for error-case dumps) —
+            # every sample is evaluated now (remainder padded, not dropped).
+            results["points"] = view["points"]
             if "masks" in view:
-                results["masks"] = view["masks"][:n_eval]
+                results["masks"] = view["masks"]
             if all_seg_pred:
                 results["seg_predictions"] = np.concatenate(all_seg_pred)
         return results

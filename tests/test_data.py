@@ -175,3 +175,67 @@ def test_discriminator_types_cosampled():
     s = pipeline.EpochSampler(data, labels, types=types, num_points=8, seed=0)
     view = s.epoch()
     np.testing.assert_array_equal(view["types"], view["labels"] * 10)
+
+
+def test_ragged_epoch_sampler_cosamples_masks_parts_types():
+    """Ragged (.bin) epoch views co-sample masks/parts with the same
+    per-cloud permutation and co-shuffle types with cloud order."""
+    rng = np.random.RandomState(1)
+    pcs, masks, parts = [], [], []
+    for n in (40, 55, 32):
+        # Encode the point's original row index in the x coordinate so mask
+        # alignment is checkable after shuffling.
+        pc = np.zeros((n, 3), np.float32)
+        pc[:, 0] = np.arange(n)
+        pcs.append(pc)
+        masks.append(np.arange(n) % 2)
+        parts.append(np.arange(n) % 5)
+    labels = np.array([0, 1, 2])
+    types = np.array([7, 8, 9])
+    s = pipeline.EpochSampler(
+        pcs, labels, masks=masks, parts=parts, types=types, num_points=16, seed=3
+    )
+    view = s.epoch()
+    assert view["masks"].shape == (3, 16)
+    assert view["parts"].shape == (3, 16)
+    for i in range(3):
+        rows = view["points"][i, :, 0].astype(int)
+        np.testing.assert_array_equal(view["masks"][i], rows % 2)
+        np.testing.assert_array_equal(view["parts"][i], rows % 5)
+    # types follow their cloud: label k was built with type k+7.
+    np.testing.assert_array_equal(view["types"], view["labels"] + 7)
+
+
+def test_padded_batches_cover_every_sample():
+    """padded_batches pads the final partial batch and reports valid counts —
+    no remainder drop (reference protocol: BATCH_SIZE=1 eval drops nothing)."""
+    view = {
+        "points": np.arange(19 * 4 * 3, dtype=np.float32).reshape(19, 4, 3),
+        "labels": np.arange(19),
+    }
+    seen = []
+    for batch, valid in pipeline.padded_batches(view, 8):
+        assert batch["labels"].shape == (8,)
+        assert batch["points"].shape == (8, 4, 3)
+        seen.extend(batch["labels"][:valid].tolist())
+    assert seen == list(range(19))
+    # Padding repeats the last real row.
+    last_batch, valid = list(pipeline.padded_batches(view, 8))[-1]
+    assert valid == 3
+    np.testing.assert_array_equal(last_batch["labels"][3:], [18] * 5)
+
+
+def test_bin_loader_keeps_negative_semantic_labels(tmp_path):
+    """with_bg=False must keep negative semantic labels (e.g. -1 unannotated)
+    as foreground candidates — the reference filter is !=0,!=1,!=2, not >2."""
+    n = 30
+    rows = np.zeros((n, 11), dtype=np.float32)
+    rows[:, 0:3] = np.random.RandomState(0).rand(n, 3)
+    rows[:20, -1] = -1.0  # dominant "class": unannotated
+    rows[20:, -1] = 1.0  # floor background
+    raw = np.concatenate([[np.float32(n)], rows.flatten()]).astype(np.float32)
+    path = str(tmp_path / "neg.bin")
+    raw.tofile(path)
+    pc = io.load_pc_file(path, with_bg=False)
+    assert pc.shape == (20, 3)
+    np.testing.assert_allclose(pc, rows[:20, 0:3])

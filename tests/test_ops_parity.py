@@ -165,6 +165,19 @@ class TestProbSample:
         freq = np.bincount(idx[0], minlength=10) / 1000
         np.testing.assert_allclose(freq, probs[0], atol=0.06)
 
+    def test_pdf_adapter_matches_cdf_form(self, rng):
+        """prob_sample_pdf takes the reference wrapper's unnormalized pdf
+        (tf_sampling.py:14-23) and must equal cumsum-then-prob_sample."""
+        pdf = rng.rand(2, 10).astype(np.float32) * 3.0  # unnormalized
+        u = rng.rand(2, 200).astype(np.float32)
+        got = np.asarray(ops.prob_sample_pdf(jnp.asarray(pdf), jnp.asarray(u)))
+        cdf = np.cumsum(pdf, axis=-1)
+        want = np.asarray(
+            ops.prob_sample(jnp.asarray(cdf), jnp.asarray(u * cdf[:, -1:]))
+        )
+        np.testing.assert_array_equal(got, want)
+        assert got.min() >= 0 and got.max() < 10
+
 
 class TestFPSPallas:
     """The Pallas FPS kernel (interpret mode on CPU) matches the lax

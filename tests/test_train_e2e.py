@@ -173,3 +173,36 @@ def test_synthetic_fifteen_classes():
     assert pts.shape == (30, 64, 3)
     assert set(labels.tolist()) == set(range(15))
     assert np.isfinite(pts).all()
+
+
+def test_evaluate_covers_remainder_and_matches_batch1():
+    """No test sample is dropped when len(data) % batch_size != 0, and
+    accuracies are identical to the reference's BATCH_SIZE=1 protocol
+    (evaluate_scenennobjects.py:29)."""
+    cfg = TrainerConfig(
+        model="pointnet_cls_basic", num_classes=3, num_point=48, batch_size=8
+    )
+    trainer = Trainer(cfg)
+    data = _dataset()
+    n = 19  # 19 % 8 == 3 → padded remainder batch
+    pts, lbl = data["points"][:n], data["labels"][:n]
+    state = trainer.init_state(0)
+    ev8 = trainer.evaluate(state, pts, lbl, num_votes=2, shuffle=False)
+    assert ev8["total_seen"] == n
+    assert len(ev8["predictions"]) == n
+
+    cfg1 = TrainerConfig(
+        model="pointnet_cls_basic", num_classes=3, num_point=48, batch_size=1
+    )
+    from scanobjectnn_tpu.parallel import mesh as mesh_lib
+
+    trainer1 = Trainer(cfg1, mesh=mesh_lib.make_mesh(devices=jax.devices()[:1]))
+    # Same params: re-init with the same seed gives identical weights.
+    state1 = trainer1.init_state(0)
+    ev1 = trainer1.evaluate(state1, pts, lbl, num_votes=2, shuffle=False)
+    assert ev1["total_seen"] == n
+    np.testing.assert_array_equal(ev8["predictions"], ev1["predictions"])
+    assert ev8["accuracy"] == ev1["accuracy"]
+    np.testing.assert_allclose(
+        ev8["per_class_accuracy"], ev1["per_class_accuracy"], equal_nan=True
+    )
