@@ -298,6 +298,15 @@ class Trainer:
                 k: jax.lax.dynamic_slice_in_dim(v, i * cfg.batch_size, cfg.batch_size)
                 for k, v in view.items()
             }
+            # Batch-shard each sliced batch over the 'data' axis so the train
+            # step (the expensive part) runs data-parallel on a multi-chip
+            # mesh — the dataset itself stays replicated (it is small and the
+            # per-epoch view shuffle is cheap), but without this constraint
+            # GSPMD would compute every step fully replicated.
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, self._batch_shard)
+                for k, v in batch.items()
+            }
             state, metrics = self._train_step_impl(state, batch, rng)
             sums = {k: sums[k] + metrics[k].astype(jnp.float32) for k in sums}
             return state, sums

