@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Headline benchmark: PointNet++ SSG inference throughput at 2048 points on
-one TPU chip (BASELINE.json north-star metric: clouds/sec/chip).
+one TPU chip (BASELINE.json north-star metric: clouds/sec/chip), with a
+roofline account proving WHERE the time goes.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "clouds/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "clouds/sec/chip", "vs_baseline": N,
+   "mfu": f, "hbm_util": f, "achieved_tflops": f, "achieved_gbps": f,
+   "bound": "hbm"|"mxu"|"neither"}
 
 ``vs_baseline`` is measured against an estimate of the TF1 reference stack:
 the reference publishes no throughput numbers (BASELINE.md), so we use a
@@ -11,6 +14,11 @@ documented estimate of PointNet++ SSG inference in TF1.10/CUDA9 on the
 contemporaneous single GPU at 2048 pts: ~125 clouds/s (the original
 PointNet++ paper reports ~12ms/cloud fwd at 1024 pts on a GTX1080 ≈ 80-160
 clouds/s batched; 2048 pts roughly halves it; we take 125).
+
+Roofline method: XLA's compiled cost analysis supplies the program's total
+FLOPs and bytes accessed; dividing by measured wall time gives achieved
+TFLOP/s and GB/s, compared against TPU v5e peaks (197 TFLOP/s bf16,
+819 GB/s HBM).  The resource with the higher utilization is what binds.
 """
 
 import json
@@ -28,6 +36,22 @@ REFERENCE_CLOUDS_PER_SEC = 125.0  # documented estimate, see module docstring
 BATCH = 32
 NUM_POINT = 2048
 
+# TPU v5e single-chip peaks (public spec: 197 bf16 TFLOP/s, 819 GB/s HBM).
+PEAK_FLOPS = 197e12
+PEAK_HBM_BPS = 819e9
+
+
+def _cost_analysis(compiled) -> dict:
+    """Normalize compiled.cost_analysis() across jax versions (dict or
+    [dict]); returns {} when the backend offers none."""
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return {}
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return dict(ca) if ca else {}
+
 
 def main() -> None:
     from scanobjectnn_tpu import models as zoo
@@ -41,6 +65,8 @@ def main() -> None:
     def forward(pts):
         return model.apply(variables, pts, train=False)["logits"]
 
+    ca = _cost_analysis(forward.lower(points).compile())
+
     # Warmup / compile.
     forward(points).block_until_ready()
 
@@ -52,16 +78,36 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     clouds_per_sec = BATCH * n_iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "pointnet2_ssg_inference_2048pts",
-                "value": round(clouds_per_sec, 1),
-                "unit": "clouds/sec/chip",
-                "vs_baseline": round(clouds_per_sec / REFERENCE_CLOUDS_PER_SEC, 2),
-            }
+    result = {
+        "metric": "pointnet2_ssg_inference_2048pts",
+        "value": round(clouds_per_sec, 1),
+        "unit": "clouds/sec/chip",
+        "vs_baseline": round(clouds_per_sec / REFERENCE_CLOUDS_PER_SEC, 2),
+    }
+
+    flops = float(ca.get("flops", 0.0))
+    bytes_accessed = float(ca.get("bytes accessed", 0.0))
+    if flops > 0 and bytes_accessed > 0:
+        secs_per_iter = dt / n_iters
+        achieved_flops = flops / secs_per_iter
+        achieved_bps = bytes_accessed / secs_per_iter
+        mfu = achieved_flops / PEAK_FLOPS
+        hbm_util = achieved_bps / PEAK_HBM_BPS
+        result.update(
+            mfu=round(mfu, 4),
+            hbm_util=round(hbm_util, 4),
+            achieved_tflops=round(achieved_flops / 1e12, 2),
+            achieved_gbps=round(achieved_bps / 1e9, 1),
+            flops_per_batch=flops,
+            bytes_per_batch=bytes_accessed,
+            bound=(
+                "hbm"
+                if hbm_util > max(mfu, 0.15)
+                else "mxu" if mfu > 0.15 else "neither"
+            ),
         )
-    )
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

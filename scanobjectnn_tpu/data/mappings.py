@@ -24,6 +24,11 @@ SCANOBJECTNN_CLASSES = (
     "shelf", "table", "bed", "pillow", "sink", "sofa", "toilet",
 )
 
+# Chair part ids for part segmentation, index == part label
+# (training_data/part_labels/chair_parts.txt; the reference's
+# evaluate_partseg.py:58 reads it from a wrong path — quirk not replicated).
+CHAIR_PART_NAMES = ("background", "head", "back", "arm", "base", "seat")
+
 MODELNET40_CLASSES = (
     "airplane", "bathtub", "bed", "bench", "bookshelf", "bottle", "bowl",
     "car", "chair", "cone", "cup", "curtain", "desk", "door", "dresser",

@@ -37,11 +37,14 @@ from scanobjectnn_tpu.models.pointcnn import (
     modelnet_x3_l4,
     object_dataset_x3,
 )
+from scanobjectnn_tpu.models.recipes import TrainRecipe
 
 __all__ = [
     "ModelSpec",
     "MODEL_REGISTRY",
+    "TrainRecipe",
     "get_model",
+    "get_recipe",
     "PointNetCls",
     "PointNetSeg",
     "PointNetPartSeg",
@@ -71,6 +74,9 @@ class ModelSpec:
     cls: type
     kind: str
     defaults: dict[str, Any] = field(default_factory=dict)
+    # Training-schedule overrides the family ships with (PointCNN's settings
+    # modules carry the schedule; the others use the driver defaults).
+    recipe: TrainRecipe | None = None
 
     def make(self, **overrides):
         kwargs = {**self.defaults, **overrides}
@@ -80,8 +86,10 @@ class ModelSpec:
 MODEL_REGISTRY: dict[str, ModelSpec] = {}
 
 
-def _register(name: str, cls: type, kind: str, **defaults):
-    MODEL_REGISTRY[name] = ModelSpec(name=name, cls=cls, kind=kind, defaults=defaults)
+def _register(name: str, cls: type, kind: str, recipe: TrainRecipe | None = None, **defaults):
+    MODEL_REGISTRY[name] = ModelSpec(
+        name=name, cls=cls, kind=kind, defaults=defaults, recipe=recipe
+    )
 
 
 # Reference driver names (SURVEY.md §2.3) → flax modules.
@@ -97,8 +105,8 @@ _register("dgcnn", DGCNN, "cls")
 _register("dgcnn_bga", DGCNNBGA, "seg")
 _register("spidercnn_cls_xyz", SpiderCNNCls, "cls")
 _register("3dmfv_net_cls", ThreeDmFVNet, "cls")
-_register("pointcnn_cls", PointCNNCls, "cls")
-_register("pointcnn_seg", PointCNNSeg, "seg")
+_register("pointcnn_cls", PointCNNCls, "cls", recipe=modelnet_x3_l4().recipe())
+_register("pointcnn_seg", PointCNNSeg, "seg", recipe=object_dataset_x3().recipe())
 
 
 def get_model(name: str, **overrides):
@@ -110,3 +118,12 @@ def get_model(name: str, **overrides):
     spec = MODEL_REGISTRY[name]
     module = spec.make(**overrides)
     return module, type(module).loss, spec.kind
+
+
+def get_recipe(name: str) -> TrainRecipe | None:
+    """The training recipe a model family ships with (None = driver defaults)."""
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[name].recipe

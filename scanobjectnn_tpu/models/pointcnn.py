@@ -66,7 +66,15 @@ class FCParam:
 @dataclass(frozen=True)
 class PointCNNSetting:
     """A settings module as a frozen dataclass (hashable → usable as a flax
-    module attribute)."""
+    module attribute).
+
+    Like the reference settings modules, this carries BOTH halves: the
+    architecture pyramid AND the training schedule
+    (modelnet_x3_l4.py:25-46 / object_dataset_x3.py:27-42,78 — lr base 0.01
+    with step-based staircase decay 0.5 every 8000 steps floored at 1e-6,
+    weight decay 1e-5, Adam epsilon 1e-2, in-graph rotation y∈[0,π] uniform +
+    per-axis gaussian scaling σ=0.1, jitter 0).  ``recipe()`` hands the
+    training half to the Trainer."""
 
     xconv_params: tuple[XConvParam, ...]
     fc_params: tuple[FCParam, ...] = ()
@@ -79,6 +87,40 @@ class PointCNNSetting:
     sampling: str = "random"  # random | fps | ids
     data_dim: int = 3
     use_extra_features: bool = False
+    # Training half (reference settings-module vocabulary).
+    learning_rate_base: float = 0.01
+    decay_steps: int = 8000  # global STEPS (PointCNN/train.py:160)
+    decay_rate: float = 0.5
+    learning_rate_min: float = 1e-6
+    weight_decay: float = 1e-5
+    epsilon: float = 1e-2  # AdamOptimizer epsilon (train.py:167)
+    jitter: float = 0.0
+    rotation_range: tuple = (0.0, math.pi, 0.0, "u")
+    scaling_range: tuple = (0.1, 0.1, 0.1, "g")
+    batch_size: int = 32
+    num_epochs: int = 400
+    sample_num: int = 1024
+
+    def recipe(self):
+        """The training half as a TrainRecipe for the Trainer."""
+        from scanobjectnn_tpu.models.recipes import TrainRecipe
+
+        return TrainRecipe(
+            lr_mode="steps",
+            learning_rate_base=self.learning_rate_base,
+            decay_steps=self.decay_steps,
+            decay_rate=self.decay_rate,
+            learning_rate_min=self.learning_rate_min,
+            weight_decay=self.weight_decay,
+            adam_epsilon=self.epsilon,
+            augment="pointcnn",
+            jitter=self.jitter,
+            rotation_range=self.rotation_range,
+            scaling_range=self.scaling_range,
+            batch_size=self.batch_size,
+            num_epochs=self.num_epochs,
+            sample_num=self.sample_num,
+        )
 
 
 def modelnet_x3_l4(x: int = 3) -> PointCNNSetting:

@@ -22,7 +22,15 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["GridGMM", "get_3d_grid_gmm", "fisher_vector", "FV_FEATURES"]
+__all__ = [
+    "GridGMM",
+    "get_3d_grid_gmm",
+    "get_2d_grid_gmm",
+    "get_learned_gmm",
+    "get_gmm",
+    "fisher_vector",
+    "FV_FEATURES",
+]
 
 # Features per gaussian: ∂π (max,sum) = 2, ∂μ (max,min,sum)·D = 9,
 # ∂σ (max,min,sum)·D = 9 → 20.
@@ -61,6 +69,120 @@ def get_3d_grid_gmm(
         stddevs=np.sqrt(variance * np.ones_like(means)),
         subdivisions=subdivisions,
     )
+
+
+def get_2d_grid_gmm(
+    subdivisions: tuple[int, int] = (5, 5), variance: float = 0.04
+) -> GridGMM:
+    """2D uniform grid GMM (utils.py:95-119): centers at the m² grid of cell
+    midpoints in [-1, 1]², spherical variance, uniform weights."""
+    subdivisions = tuple(subdivisions)
+    n = int(np.prod(subdivisions))
+    step = [1.0 / s for s in subdivisions]
+    means = np.mgrid[
+        step[0] - 1 : 1.0 - step[0] : complex(0, subdivisions[0]),
+        step[1] - 1 : 1.0 - step[1] : complex(0, subdivisions[1]),
+    ]
+    means = means.reshape(2, -1).T
+    return GridGMM(
+        weights=np.full((n,), 1.0 / n),
+        means=means.astype(np.float64),
+        stddevs=np.sqrt(variance * np.ones_like(means)),
+        subdivisions=subdivisions,
+    )
+
+
+def get_learned_gmm(
+    points: np.ndarray,
+    n_gaussians: int,
+    n_iter: int = 100,
+    tol: float = 1e-3,
+    seed: int = 0,
+) -> GridGMM:
+    """Diagonal-covariance GMM learned from data by EM
+    (utils.py:54-67 — sklearn GaussianMixture(covariance_type='diag');
+    implemented here as plain numpy EM, no sklearn dependency: random-
+    responsibility init, E/M iterations to log-likelihood tolerance, the
+    1e-6 diagonal regularization sklearn applies).
+
+    Args:
+      points: [M, D] training coordinates (the reference flattens all
+        models' points into one set).
+      n_gaussians: number of mixture components.
+
+    Returns a GridGMM whose ``subdivisions`` is (n_gaussians,).
+    """
+    pts = np.asarray(points, np.float64)
+    m, d = pts.shape
+    rng = np.random.RandomState(seed)
+    reg = 1e-6
+
+    # Init: means at random distinct points, shared data variance.
+    means = pts[rng.choice(m, n_gaussians, replace=False)].copy()
+    variances = np.tile(pts.var(axis=0) + reg, (n_gaussians, 1))
+    weights = np.full(n_gaussians, 1.0 / n_gaussians)
+
+    prev_ll = -np.inf
+    for _ in range(n_iter):
+        # E step: log N(x | mu_g, diag sigma_g) + log w_g.
+        diff2 = (pts[:, None, :] - means[None]) ** 2 / variances[None]  # [M,G,D]
+        log_p = (
+            -0.5 * diff2.sum(-1)
+            - 0.5 * np.log(variances).sum(-1)
+            - 0.5 * d * np.log(2 * np.pi)
+            + np.log(np.maximum(weights, 1e-300))
+        )  # [M, G]
+        mx = log_p.max(axis=1, keepdims=True)
+        log_norm = mx + np.log(np.exp(log_p - mx).sum(axis=1, keepdims=True))
+        resp = np.exp(log_p - log_norm)  # [M, G]
+        ll = float(log_norm.mean())
+
+        # M step.
+        nk = resp.sum(axis=0) + 10 * np.finfo(np.float64).eps
+        means = (resp.T @ pts) / nk[:, None]
+        diff = pts[:, None, :] - means[None]
+        variances = (
+            np.einsum("mg,mgd->gd", resp, diff**2) / nk[:, None] + reg
+        )
+        weights = nk / m
+
+        if abs(ll - prev_ll) < tol:
+            break
+        prev_ll = ll
+
+    return GridGMM(
+        weights=weights,
+        means=means,
+        stddevs=np.sqrt(variances),
+        subdivisions=(n_gaussians,),
+    )
+
+
+def get_gmm(
+    points: np.ndarray | None,
+    n_gaussians,
+    num_point: int | None = None,
+    type: str = "grid",
+    variance: float = 0.05,
+    d: int = 3,
+) -> GridGMM:
+    """GMM dispatcher mirroring utils.get_gmm (utils.py:10-52): 'grid' builds
+    a 2D or 3D uniform grid; 'learn' runs EM on the given points.  (The
+    reference's n_scales parameter is dead code and its pickle cache is a
+    host-side detail — both dropped.)"""
+    if type == "grid":
+        if d == 2:
+            return get_2d_grid_gmm((n_gaussians, n_gaussians), variance)
+        if d == 3:
+            return get_3d_grid_gmm((n_gaussians,) * 3, variance)
+        raise ValueError("grid GMM supports D=2 or D=3")
+    if type == "learn":
+        if points is None:
+            raise ValueError("'learn' requires training points")
+        if isinstance(n_gaussians, (list, tuple)):
+            raise ValueError("non-grid n_gaussians must be a scalar")
+        return get_learned_gmm(np.asarray(points).reshape(-1, d), int(n_gaussians))
+    raise ValueError("GMM type must be 'grid' or 'learn'")
 
 
 def _minmaxsum(x: jnp.ndarray) -> jnp.ndarray:

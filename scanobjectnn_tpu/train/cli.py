@@ -52,6 +52,11 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_augment", action="store_true", help="disable rotate+jitter train augmentation")
+    p.add_argument(
+        "--no_recipe", action="store_true",
+        help="ignore the model family's training recipe (PointCNN settings-module "
+        "schedule) and use the generic flags instead",
+    )
     p.add_argument("--visu", action="store_true", help="dump error-case renders/PLYs (eval) and seg masks (eval_seg)")
     p.add_argument("--profile", action="store_true", help="capture a jax.profiler trace of the first train epoch into <log_dir>/profile")
 
@@ -102,6 +107,7 @@ def _make_trainer(args, kind: str):
         log_dir=args.log_dir,
         augment_rotate=not args.no_augment,
         augment_jitter=not args.no_augment,
+        use_model_recipe=not args.no_recipe,
     )
     return Trainer(cfg)
 
@@ -184,6 +190,16 @@ def _evaluate(args, mode: str):
             )
     if "seg_accuracy" in results:
         log.log(f"eval seg accuracy: {results['seg_accuracy']:.6f}")
+    if "per_part_accuracy" in results:
+        # Per-part accuracy table (pointnet/evaluate_partseg.py:186-192).
+        from scanobjectnn_tpu.data.mappings import CHAIR_PART_NAMES
+
+        log.log(f"eval avg class acc: {results['avg_part_accuracy']:.6f}")
+        per_part = results["per_part_accuracy"]
+        part_names = list(CHAIR_PART_NAMES)[: len(per_part)]
+        part_names += [f"part_{i}" for i in range(len(part_names), len(per_part))]
+        for name, acc in zip(part_names, per_part):
+            log.log(f"{name:>10s}:\t{acc:0.3f}")
     if args.visu and args.log_dir and "points" in results:
         from scanobjectnn_tpu.data.mappings import SCANOBJECTNN_CLASSES as _names
 

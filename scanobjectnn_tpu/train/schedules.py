@@ -16,7 +16,7 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-__all__ = ["exponential_decay_lr", "bn_momentum_schedule"]
+__all__ = ["exponential_decay_lr", "step_exponential_decay_lr", "bn_momentum_schedule"]
 
 
 def exponential_decay_lr(
@@ -31,6 +31,28 @@ def exponential_decay_lr(
 
     def schedule(step) -> jnp.ndarray:
         p = jnp.asarray(step, jnp.float32) * batch_size / decay_step
+        if staircase:
+            p = jnp.floor(p)
+        return jnp.maximum(base_lr * jnp.power(decay_rate, p), floor)
+
+    return schedule
+
+
+def step_exponential_decay_lr(
+    base_lr: float,
+    decay_steps: int,
+    decay_rate: float,
+    floor: float,
+    staircase: bool = True,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """LR(step) = max(base · rate^floor(step/decay_steps), floor) — decay on
+    global STEPS, the PointCNN settings-module schedule
+    (tf.train.exponential_decay on global_step, PointCNN/train.py:160-162,
+    clipped at learning_rate_min; vs the pointnet drivers' samples-based
+    exponent in ``exponential_decay_lr``)."""
+
+    def schedule(step) -> jnp.ndarray:
+        p = jnp.asarray(step, jnp.float32) / decay_steps
         if staircase:
             p = jnp.floor(p)
         return jnp.maximum(base_lr * jnp.power(decay_rate, p), floor)

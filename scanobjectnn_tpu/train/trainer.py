@@ -71,6 +71,11 @@ class TrainerConfig:
     log_dir: str | None = None
     augment_rotate: bool = True
     augment_jitter: bool = True
+    # Honor the training recipe the model family ships with (PointCNN's
+    # settings-module schedule: step-based LR decay, weight decay, Adam
+    # epsilon, in-graph xform augmentation).  False = generic driver flags,
+    # like pointing the pointnet2 trainer at PointCNN would.
+    use_model_recipe: bool = True
     model_kwargs: dict = field(default_factory=dict)
     checkpoint_every: int = 1
     # Keep the whole training set in HBM and run each epoch as ONE jitted
@@ -99,20 +104,41 @@ class Trainer:
         kwargs.setdefault("dtype", config.jnp_dtype)
         self.model, self._loss_fn, self.kind = model_zoo.get_model(config.model, **kwargs)
 
-        self.lr_schedule = schedules.exponential_decay_lr(
-            config.learning_rate, config.batch_size, config.decay_step, config.decay_rate
+        self.recipe = (
+            model_zoo.get_recipe(config.model) if config.use_model_recipe else None
         )
+        if self.recipe is not None and self.recipe.lr_mode == "steps":
+            self.lr_schedule = schedules.step_exponential_decay_lr(
+                self.recipe.learning_rate_base,
+                self.recipe.decay_steps,
+                self.recipe.decay_rate,
+                self.recipe.learning_rate_min,
+            )
+        else:
+            self.lr_schedule = schedules.exponential_decay_lr(
+                config.learning_rate, config.batch_size, config.decay_step, config.decay_rate
+            )
         self.bn_schedule = schedules.bn_momentum_schedule(
             config.batch_size, config.decay_step
         )
+        adam_eps = 1e-8
+        weight_decay = config.weight_decay
+        if self.recipe is not None:
+            if self.recipe.adam_epsilon is not None:
+                adam_eps = self.recipe.adam_epsilon
+            if not weight_decay:
+                weight_decay = self.recipe.weight_decay
         if config.optimizer == "adam":
-            tx = optax.adam(self.lr_schedule)
+            tx = optax.adam(self.lr_schedule, eps=adam_eps)
         elif config.optimizer == "momentum":
             tx = optax.sgd(self.lr_schedule, momentum=config.momentum)
         else:
             raise ValueError(f"unknown optimizer {config.optimizer!r}")
-        if config.weight_decay:
-            tx = optax.chain(optax.add_decayed_weights(config.weight_decay), tx)
+        if weight_decay:
+            # L2-in-loss semantics: grad += wd·w fed to the optimizer, exactly
+            # tf.losses.get_regularization_loss with l2_regularizer(1.0) ×
+            # setting.weight_decay added to the loss (PointCNN/train.py:164).
+            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
         self.tx = tx
 
         self._batch_shard = mesh_lib.batch_sharding(self.mesh)
@@ -158,8 +184,21 @@ class Trainer:
     # ------------------------------------------------------------- train step
 
     def _augment(self, key: jax.Array, points: jnp.ndarray) -> jnp.ndarray:
-        """Reference recipe: per-cloud y-rotation + per-point jitter
-        (pointnet2/train.py:246-247), fused into the step."""
+        """Train-time augmentation, fused into the step.  Default recipe:
+        per-cloud y-rotation + per-point jitter (pointnet2/train.py:246-247).
+        PointCNN recipe: in-graph per-cloud xform matmul (rotation y∈[0,π]
+        uniform, per-axis gaussian scaling σ=0.1) + jitter, matching
+        pointfly.get_xforms/augment (PointCNN/train.py:255-263)."""
+        if self.recipe is not None and self.recipe.augment == "pointcnn":
+            if not (self.config.augment_rotate or self.config.augment_jitter):
+                return points
+            return aug.pointcnn_augment(
+                key,
+                points,
+                jitter_range=self.recipe.jitter,
+                rotation_range=self.recipe.rotation_range,
+                scaling_range=self.recipe.scaling_range,
+            )
         k1, k2 = jax.random.split(key)
         if self.config.augment_rotate:
             points = aug.rotate_point_cloud(k1, points)
@@ -393,6 +432,8 @@ class Trainer:
         correct_class = np.zeros(num_classes, np.int64)
         seg_correct = 0
         seg_seen = 0
+        part_seen = None  # per-part-id point tallies (evaluate_partseg.py:166-185)
+        part_correct = None
         all_pred = []
         all_label = []
         all_seg_pred = []
@@ -427,8 +468,22 @@ class Trainer:
                     all_seg_pred.append(seg_pred)
                 target = batch.get("masks", batch.get("parts"))
                 if target is not None:
-                    seg_correct += int((seg_pred == np.asarray(target)[:valid]).sum())
+                    target = np.asarray(target)[:valid]
+                    seg_correct += int((seg_pred == target).sum())
                     seg_seen += seg_pred.size
+                    if "parts" in batch:
+                        # Per-part-id point accuracy table
+                        # (pointnet/evaluate_partseg.py:166-185).
+                        num_parts = seg_logits_sum.shape[-1]
+                        if part_seen is None:
+                            part_seen = np.zeros(num_parts, np.int64)
+                            part_correct = np.zeros(num_parts, np.int64)
+                        flat_t = target.reshape(-1)
+                        hit = (seg_pred == target).reshape(-1)
+                        part_seen += np.bincount(flat_t, minlength=num_parts)
+                        part_correct += np.bincount(
+                            flat_t, weights=hit, minlength=num_parts
+                        ).astype(np.int64)
             total_seen += valid
 
         results: dict[str, Any] = {
@@ -447,6 +502,18 @@ class Trainer:
             results["labels"] = np.concatenate(all_label) if all_label else np.array([])
         if seg_seen:
             results["seg_accuracy"] = seg_correct / seg_seen
+        if part_seen is not None:
+            # -1.0 marks unseen parts, matching the reference table; avg is
+            # over seen parts only (evaluate_partseg.py:177-185).
+            with np.errstate(divide="ignore", invalid="ignore"):
+                per_part = np.where(
+                    part_seen > 0, part_correct / np.maximum(part_seen, 1), -1.0
+                )
+            results["per_part_accuracy"] = per_part
+            seen = part_seen > 0
+            results["avg_part_accuracy"] = (
+                float(per_part[seen].mean()) if seen.any() else 0.0
+            )
         if keep_points:
             # The evaluated samples in eval order (for error-case dumps) —
             # every sample is evaluated now (remainder padded, not dropped).
@@ -477,6 +544,10 @@ class Trainer:
             f"model={cfg.model} params={self.param_count(state):,} "
             f"devices={len(self.mesh.devices.flatten())}"
         )
+        if self.recipe is not None:
+            self.logger.log(f"recipe={self.recipe}")
+        if cfg.log_dir:
+            self.snapshot_sources()
         ragged = isinstance(train_data["points"], (list, tuple)) or (
             isinstance(train_data["points"], np.ndarray)
             and train_data["points"].dtype == object
@@ -490,6 +561,8 @@ class Trainer:
                 masks=train_data.get("masks"), parts=train_data.get("parts"),
                 num_points=cfg.num_point, seed=cfg.seed,
             )
+        best_acc = -1.0  # best-so-far tracking (3DmFV-Net/train.py:232-237)
+        best_avg_cls = -1.0
         for epoch in range(cfg.max_epoch):
             t0 = time.time()
             if sampler is None:
@@ -500,6 +573,7 @@ class Trainer:
                 f"{k}={v:.4f}" for k, v in summary.items()
             )
             self.logger.log(f"{msg} ({time.time() - t0:.1f}s)")
+            scalars = {f"train_{k}": v for k, v in summary.items()}
             if test_data is not None:
                 ev = self.evaluate(
                     state, test_data["points"], test_data["labels"],
@@ -514,20 +588,35 @@ class Trainer:
                         if isinstance(v, (int, float))
                     )
                 )
+                scalars.update(
+                    {f"eval_{k}": v for k, v in ev.items() if isinstance(v, (int, float))}
+                )
+                acc = ev.get("accuracy", ev.get("seg_accuracy", -1.0))
+                if acc > best_acc:
+                    best_acc = acc
+                    best_avg_cls = ev.get("avg_class_accuracy", -1.0)
+                    if cfg.log_dir:
+                        self.save(state, best=True)
+                scalars["best_accuracy"] = best_acc
+            self.logger.scalars(int(state.step), epoch=epoch, **scalars)
             if cfg.log_dir and (epoch + 1) % cfg.checkpoint_every == 0:
                 self.save(state)
+        if test_data is not None:
+            self.logger.log(f"Best test accuracy: {best_acc:f}")
+            self.logger.log(f"Best test class accuracy: {best_avg_cls:f}")
         return state
 
     # ------------------------------------------------------------ checkpoints
 
-    def _ckpt_dir(self) -> str:
+    def _ckpt_dir(self, best: bool = False) -> str:
         assert self.config.log_dir
-        return os.path.join(os.path.abspath(self.config.log_dir), "checkpoint")
+        name = "checkpoint_best" if best else "checkpoint"
+        return os.path.join(os.path.abspath(self.config.log_dir), name)
 
-    def save(self, state: TrainState) -> None:
+    def save(self, state: TrainState, best: bool = False) -> None:
         import orbax.checkpoint as ocp
 
-        path = self._ckpt_dir()
+        path = self._ckpt_dir(best=best)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, jax.device_get(state), force=True)
         ckptr.wait_until_finished()
@@ -536,6 +625,26 @@ class Trainer:
                 {k: v for k, v in self.config.__dict__.items() if not callable(v)},
                 f, default=str, indent=2,
             )
+        if best:
+            with open(os.path.join(os.path.dirname(path), "best.json"), "w") as f:
+                json.dump({"step": int(state.step)}, f)
+
+    def snapshot_sources(self) -> None:
+        """Copy the model's source module (+ this trainer) into the log dir,
+        mirroring the reference's reproducibility snapshot
+        (pointnet2/train.py:72-74 cp's MODEL_FILE and train.py to LOG_DIR)."""
+        import inspect
+        import shutil
+
+        dst = os.path.join(os.path.abspath(self.config.log_dir), "src_snapshot")
+        os.makedirs(dst, exist_ok=True)
+        for obj in (type(self.model), Trainer):
+            try:
+                src = inspect.getsourcefile(obj)
+            except TypeError:
+                continue
+            if src and os.path.isfile(src):
+                shutil.copy2(src, dst)
 
     def restore(self, template: TrainState) -> TrainState | None:
         import orbax.checkpoint as ocp

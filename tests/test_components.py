@@ -185,3 +185,60 @@ class TestAuctionMatch:
         matched = float(emd_loss(a, b))
         identity = float(jnp.mean(jnp.linalg.norm(a - b, axis=-1)))
         assert matched <= identity + 1e-6
+
+
+class TestGMMVariants:
+    """GMM library completeness (3DmFV-Net/utils/utils.py:10-119)."""
+
+    def test_2d_grid(self):
+        from scanobjectnn_tpu.nn import fisher
+
+        g = fisher.get_2d_grid_gmm((4, 4), variance=0.04)
+        assert g.means.shape == (16, 2)
+        assert g.weights.shape == (16,)
+        np.testing.assert_allclose(g.weights, 1 / 16)
+        # Centers are the 4x4 cell midpoints of [-1,1]^2.
+        np.testing.assert_allclose(sorted(set(np.round(g.means[:, 0], 6))),
+                                   [-0.75, -0.25, 0.25, 0.75])
+        np.testing.assert_allclose(g.stddevs, np.sqrt(0.04))
+
+    def test_learned_gmm_recovers_blobs(self):
+        from scanobjectnn_tpu.nn import fisher
+
+        rng = np.random.RandomState(0)
+        centers = np.array([[-0.6, -0.6, -0.6], [0.6, 0.6, 0.6]])
+        pts = np.concatenate(
+            [c + 0.05 * rng.randn(500, 3) for c in centers], axis=0
+        )
+        g = fisher.get_learned_gmm(pts, 2, seed=1)
+        assert g.means.shape == (2, 3)
+        np.testing.assert_allclose(sorted(g.weights), [0.5, 0.5], atol=0.05)
+        got = np.array(sorted(g.means.tolist()))
+        np.testing.assert_allclose(got, centers, atol=0.05)
+        assert (g.stddevs < 0.2).all()
+
+    def test_get_gmm_dispatch(self):
+        from scanobjectnn_tpu.nn import fisher
+
+        g3 = fisher.get_gmm(None, 3, type="grid", variance=0.05, d=3)
+        assert g3.means.shape == (27, 3)
+        g2 = fisher.get_gmm(None, 3, type="grid", d=2)
+        assert g2.means.shape == (9, 2)
+        pts = np.random.RandomState(0).randn(200, 3) * 0.1
+        gl = fisher.get_gmm(pts, 4, type="learn")
+        assert gl.means.shape == (4, 3)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            fisher.get_gmm(None, 3, type="nope")
+
+    def test_fisher_vector_works_with_learned_gmm(self):
+        import jax.numpy as jnp
+        from scanobjectnn_tpu.nn import fisher
+
+        rng = np.random.RandomState(0)
+        g = fisher.get_learned_gmm(rng.randn(300, 3) * 0.3, 8, seed=0)
+        pts = jnp.asarray(rng.randn(2, 64, 3) * 0.3, jnp.float32)
+        fv = fisher.fisher_vector(pts, g.weights, g.means, g.stddevs)
+        assert fv.shape == (2, 20, 8)
+        assert np.isfinite(np.asarray(fv)).all()

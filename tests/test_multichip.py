@@ -138,3 +138,44 @@ def test_device_resident_epoch_is_sharded_and_matches_single_device():
         jax.tree_util.tree_leaves(s8.params), jax.tree_util.tree_leaves(s1.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_cross_replica_batchnorm_matches_global_stats():
+    """BatchNorm(axis_name='data') under shard_map over a batch-sharded input
+    must equal single-device BatchNorm over the full batch — the psum'd batch
+    statistics ARE the global-batch statistics (the TPU-native replacement
+    for dgcnn's batch_norm_dist_template, dgcnn/utils/tf_util.py:502-535)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from scanobjectnn_tpu.nn.layers import BatchNorm
+
+    mesh = mesh_lib.make_mesh()
+    x = np.random.RandomState(0).randn(16, 8).astype(np.float32) * 3.0 + 1.5
+
+    bn_ref = BatchNorm()
+    variables = bn_ref.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    y_ref, mut_ref = bn_ref.apply(
+        variables, jnp.asarray(x), False, 0.9, mutable=["batch_stats"]
+    )
+
+    bn_x = BatchNorm(axis_name="data")
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P("data"),
+        out_specs=(P("data"), P(), P()),
+    )
+    def sharded_bn(xs):
+        y, mut = bn_x.apply(variables, xs, False, 0.9, mutable=["batch_stats"])
+        stats = mut["batch_stats"]
+        return y, stats["mean"], stats["var"]
+
+    y, mean, var = sharded_bn(jnp.asarray(x))
+    mut_stats = mut_ref["batch_stats"]
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mut_stats["mean"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(mut_stats["var"]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5)

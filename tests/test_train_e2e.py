@@ -5,6 +5,7 @@ The reference has no such test (SURVEY.md §4 item (d) — net-new fixture)."""
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -206,3 +207,124 @@ def test_evaluate_covers_remainder_and_matches_batch1():
     np.testing.assert_allclose(
         ev8["per_class_accuracy"], ev1["per_class_accuracy"], equal_nan=True
     )
+
+
+class TestPointCNNRecipe:
+    """The PointCNN settings-module training half must reach the trainer
+    (reference: PointCNN/train.py:125-172 + modelnet_x3_l4.py:25-46)."""
+
+    def _trainer(self, **kw):
+        cfg = TrainerConfig(model="pointcnn_cls", num_classes=3, num_point=48,
+                            batch_size=8, **kw)
+        return Trainer(cfg)
+
+    def test_step_based_lr_schedule_values(self):
+        t = self._trainer()
+        lr = t.lr_schedule
+        assert float(lr(0)) == pytest.approx(0.01)
+        assert float(lr(7999)) == pytest.approx(0.01)
+        assert float(lr(8000)) == pytest.approx(0.005)
+        assert float(lr(16000)) == pytest.approx(0.0025)
+        np.testing.assert_allclose(float(lr(10_000_000)), 1e-6, rtol=1e-6)
+
+    def test_recipe_fields(self):
+        t = self._trainer()
+        r = t.recipe
+        assert r is not None
+        assert r.weight_decay == 1e-5
+        assert r.adam_epsilon == 1e-2
+        assert r.augment == "pointcnn"
+        assert r.jitter == 0.0
+        assert tuple(r.rotation_range[:3]) == (0.0, float(np.pi), 0.0)
+        assert r.rotation_range[3] == "u"
+        assert tuple(r.scaling_range[:3]) == (0.1, 0.1, 0.1)
+        assert r.scaling_range[3] == "g"
+
+    def test_weight_decay_applied(self):
+        """Zero gradients + L2 → nonzero updates (grad := wd·w before Adam,
+        the tf.losses regularization-in-loss semantics)."""
+        import jax.numpy as jnp
+
+        t = self._trainer()
+        params = {"w": jnp.ones((4,), jnp.float32)}
+        opt_state = t.tx.init(params)
+        grads = {"w": jnp.zeros((4,), jnp.float32)}
+        updates, _ = t.tx.update(grads, opt_state, params)
+        assert float(jnp.abs(updates["w"]).max()) > 0.0
+
+    def test_augment_uses_pointcnn_xforms(self):
+        from scanobjectnn_tpu import augment as aug
+
+        t = self._trainer()
+        key = jax.random.PRNGKey(42)
+        pts = jnp.asarray(np.random.RandomState(0).randn(4, 16, 3), jnp.float32)
+        got = t._augment(key, pts)
+        want = aug.pointcnn_augment(
+            key, pts, jitter_range=0.0,
+            rotation_range=t.recipe.rotation_range,
+            scaling_range=t.recipe.scaling_range,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+        # and differs from the pointnet-style rotate+jitter recipe
+        k1, k2 = jax.random.split(key)
+        other = aug.jitter_point_cloud(k2, aug.rotate_point_cloud(k1, pts))
+        assert not np.allclose(np.asarray(got), np.asarray(other))
+
+    def test_no_recipe_falls_back_to_generic_flags(self):
+        t = self._trainer(use_model_recipe=False, learning_rate=1e-3)
+        assert t.recipe is None
+        assert float(t.lr_schedule(0)) == pytest.approx(1e-3)
+
+
+def test_partseg_eval_reports_per_part_table():
+    """evaluate() must produce the reference's per-part accuracy tallies
+    (pointnet/evaluate_partseg.py:166-185): per-part-id point accuracy,
+    -1.0 for unseen parts, avg over seen parts."""
+    cfg = TrainerConfig(
+        model="pointnet_partseg", num_classes=6, num_point=48, batch_size=8
+    )
+    trainer = Trainer(cfg)
+    data = _dataset()
+    rng = np.random.RandomState(0)
+    parts = rng.randint(0, 4, data["points"].shape[:2])  # parts 4,5 unseen
+    state = trainer.init_state(0)
+    ev = trainer.evaluate(
+        state, data["points"], data["labels"], parts=parts, num_votes=1
+    )
+    per_part = ev["per_part_accuracy"]
+    assert per_part.shape == (6,)
+    assert (per_part[4:] == -1.0).all()  # unseen parts marked -1
+    assert ((0 <= per_part[:4]) & (per_part[:4] <= 1)).all()
+    assert ev["avg_part_accuracy"] == pytest.approx(float(per_part[:4].mean()))
+    # Tallies cover every evaluated point.
+    assert ev["seg_accuracy"] >= 0
+
+
+def test_fit_writes_metrics_best_and_snapshot(tmp_path):
+    """fit() must leave the reference's log-dir artifacts: metrics.jsonl
+    scalar history, best-accuracy checkpoint + marker (3DmFV-Net/
+    train.py:232-237), and a source snapshot (pointnet2/train.py:72-74)."""
+    import json
+
+    log_dir = str(tmp_path / "log")
+    cfg = TrainerConfig(
+        model="pointnet_cls_basic", num_classes=3, num_point=48, batch_size=8,
+        max_epoch=2, log_dir=log_dir,
+    )
+    trainer = Trainer(cfg)
+    data = _dataset()
+    trainer.fit(data, test_data=data)
+
+    metrics_path = os.path.join(log_dir, "metrics.jsonl")
+    assert os.path.isfile(metrics_path)
+    records = [json.loads(l) for l in open(metrics_path)]
+    assert len(records) == 2
+    assert "train_mean_loss" in records[0] and "eval_accuracy" in records[0]
+    assert "best_accuracy" in records[1]
+    assert records[1]["best_accuracy"] >= records[1]["eval_accuracy"] - 1e-9
+
+    assert os.path.isdir(os.path.join(log_dir, "checkpoint_best"))
+    assert os.path.isfile(os.path.join(log_dir, "best.json"))
+    snap = os.path.join(log_dir, "src_snapshot")
+    assert os.path.isfile(os.path.join(snap, "trainer.py"))
+    assert os.path.isfile(os.path.join(snap, "pointnet.py"))
