@@ -61,20 +61,29 @@ def main() -> None:
     points = jax.random.normal(key, (BATCH, NUM_POINT, 3), jnp.float32)
     variables = model.init({"params": key, "dropout": key}, points, train=False)
 
-    @jax.jit
     def forward(pts):
         return model.apply(variables, pts, train=False)["logits"]
 
-    ca = _cost_analysis(forward.lower(points).compile())
+    ca = _cost_analysis(jax.jit(forward).lower(points).compile())
 
-    # Warmup / compile.
-    forward(points).block_until_ready()
-
+    # Honest timing on this image's tunneled TPU: block_until_ready is NOT a
+    # reliable barrier (it can return before execution), so the benchmark is
+    # a serial fori_loop chain inside ONE jit, synced by a host readback.
     n_iters = 30
+
+    @jax.jit
+    def chained(pts):
+        def body(i, carry):
+            pts, acc = carry
+            logits = forward(pts)
+            pts = pts * (1.0 + 1e-12 * jnp.mean(logits).astype(pts.dtype))
+            return pts, acc + jnp.sum(logits.astype(jnp.float32))
+        _, acc = jax.lax.fori_loop(0, n_iters, body, (pts, jnp.float32(0)))
+        return acc
+
+    float(chained(points))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(points)
-    out.block_until_ready()
+    float(chained(points))  # device->host readback = true barrier
     dt = time.perf_counter() - t0
 
     clouds_per_sec = BATCH * n_iters / dt

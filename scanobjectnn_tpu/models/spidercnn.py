@@ -19,12 +19,14 @@ is one MXU matmul over the flattened (K·C_in·T) axis.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from scanobjectnn_tpu import ops
 from scanobjectnn_tpu.models import losses
 from scanobjectnn_tpu.nn.layers import BatchNorm, Dense, default_kernel_init
+from scanobjectnn_tpu.ops.pallas.edge_kernel import gather_neighbors
 
 __all__ = ["SpiderConv", "SpiderCNNCls", "taylor_basis"]
 
@@ -62,6 +64,8 @@ class SpiderConv(nn.Module):
     dtype: jnp.dtype | None = None
     bn_axis_name: str | None = None
 
+    fused: bool = True
+
     @nn.compact
     def __call__(
         self,
@@ -73,7 +77,8 @@ class SpiderConv(nn.Module):
     ) -> jnp.ndarray:
         b, n, k = idx.shape
         c_in = feat.shape[-1]
-        grouped = ops.group_point(feat, idx)  # [B, N, K, C_in]
+        gather = gather_neighbors if self.fused else ops.group_point
+        grouped = gather(feat, idx)  # [B, N, K, C_in]
 
         # g_d: one learned linear combination of the 20 monomials per taylor
         # channel (the reference's 20 separate tiled weight tensors,
@@ -89,8 +94,11 @@ class SpiderConv(nn.Module):
             preferred_element_type=jnp.float32,
         )  # [B, N, K, T]
 
-        # Outer product features x taylor channels, flattened, then the
-        # [1, K] convolution == one Dense over the (K * C_in * T) axis.
+        # The outer product feeds the conv matmul directly; XLA operand-
+        # fuses it, so the [B, N, K, C·T] tensor is not materialized.
+        # (Negative results recorded in BENCHMARKS.md: a lax.scan over K
+        # pays 2.7 GB of carry dynamic-update-slices, an unrolled per-k
+        # loop materializes 20 [B,N,T,O] terms — both SLOWER.)
         prod = jnp.einsum("bnkc,bnkt->bnkct", grouped.astype(dtype), g_d.astype(dtype))
         prod = prod.reshape(b, n, k * c_in * self.taylor_channels)
         out = Dense(self.features_out, dtype=self.dtype, name="conv")(prod)
@@ -106,10 +114,24 @@ class SpiderConv(nn.Module):
 
 def topk_pool(feat: jnp.ndarray, k: int = 2) -> jnp.ndarray:
     """Top-k values per channel over the point axis
-    (SpiderCNN/utils/tf_util.py:363-377): [B, N, C] -> [B, C, k]."""
-    import jax
+    (SpiderCNN/utils/tf_util.py:363-377): [B, N, C] -> [B, C, k].
 
-    return jax.lax.top_k(jnp.swapaxes(feat, 1, 2), k)[0]
+    k max-extraction rounds instead of lax.top_k's full sort (the sort was
+    5% of the SpiderCNN step).  Tie handling matches top_k exactly: each
+    round removes only the first occurrence, so duplicate maxima (common —
+    relu zeros) are returned k times, and the gather routes gradients to
+    the selected positions like top_k's VJP."""
+    x = jnp.swapaxes(feat, 1, 2)  # [B, C, N]
+    xs = jax.lax.stop_gradient(x)
+    n = x.shape[-1]
+    col = jnp.arange(n, dtype=jnp.int32)
+    idxs = []
+    for _ in range(k):
+        am = jnp.argmax(xs, axis=-1)  # first occurrence on ties
+        idxs.append(am)
+        xs = jnp.where(col == am[..., None], -jnp.inf, xs)
+    idx = jnp.stack(idxs, axis=-1)  # [B, C, k]
+    return jnp.take_along_axis(x, idx, axis=-1)
 
 
 class SpiderCNNCls(nn.Module):
@@ -120,6 +142,7 @@ class SpiderCNNCls(nn.Module):
     taylor_channels: int = 5
     num_groups: int = 16
     dropout_keep: float = 0.3
+    fused: bool = True
     dtype: jnp.dtype | None = None
     bn_axis_name: str | None = None
 
@@ -131,12 +154,17 @@ class SpiderCNNCls(nn.Module):
         # knn_graph == knn_point(k, x, x).idx and dispatches to the Pallas
         # kernel on TPU.
         idx = ops.knn_graph(points, self.nsample)
-        grouped_xyz = ops.group_point(points, idx)
+        if self.fused:
+            # xyz padded to 8 lanes so the MXU one-hot gather applies.
+            pts8 = jnp.pad(points, ((0, 0), (0, 0), (0, 5)))
+            grouped_xyz = gather_neighbors(pts8, idx)[..., :3]
+        else:
+            grouped_xyz = ops.group_point(points, idx)
         delta = grouped_xyz - points[:, :, None, :]  # [B, N, K, 3]
 
         kw = dict(
             taylor_channels=self.taylor_channels, num_groups=self.num_groups,
-            dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype, bn_axis_name=self.bn_axis_name, fused=self.fused,
         )
         feat_1 = SpiderConv(32, name="conv1", **kw)(points, idx, delta, train, bn_momentum)
         feat_2 = SpiderConv(64, name="conv2", **kw)(feat_1, idx, delta, train, bn_momentum)

@@ -1,0 +1,426 @@
+"""Fused kNN + neighbor-reduce Pallas kernel: the DGCNN EdgeConv engine.
+
+Behavioral reference: dgcnn/utils/tf_util.py:638-704 — per layer, a dense
+feature-space kNN graph (self-edge included) followed by get_edge_feature +
+conv2d + BN + relu + max over the k neighbors.
+
+The TPU-native reformulation (models/dgcnn.py::EdgeConv):
+    edge pre-activation  e_ij = W·concat(x_i, x_j−x_i) + b  =  A_i + B_j
+with A = x@(W1−W2)+b and B = x@W2.  Per channel, max_j(A_i+B_j) =
+A_i + max_j B_j, and BN∘relu is monotone per channel (direction = sign γ),
+so the whole EdgeConv needs only four neighbor reductions of B:
+max, min, sum, and sum-of-squares (the last two reconstruct the BN batch
+statistics over the full edge population).  None of the [B,N,k,C] edge
+tensors ever exist.
+
+This kernel fuses those reductions INTO the kNN extraction loop: each
+argmin-extraction round already materializes the one-hot row selector used
+to mask the chosen column, and `onehot @ B` on the MXU IS a gather of the
+selected neighbor rows — the MXU runs it while the VPU does the next
+extraction round, so the gather is time-FREE (measured: kNN alone 4.6 ms,
+kNN+gather+reduce 4.8 ms at B32 N1024 k20 C64 on v5e, vs 4.1+5.6 ms for
+the separate kNN kernel + XLA row-gather, which runs ~30 GB/s effective).
+
+Exactness: a bf16 one-hot matmul would round the gathered values, so B is
+pre-split into three bf16 terms (hi/mid/lo, Dekker-style) and gathered with
+three single-pass matmuls — each product is exact (1.0 × bf16 term,
+accumulated in f32), recovering full f32 values.  Precision.HIGHEST would
+do the same job in 6 MXU passes but costs +3.5 ms (measured); the split
+costs ~0.2 ms.
+
+Backward (custom VJP, w.r.t. the values only — kNN indices carry no
+gradient, matching the reference's NoGradient top_k): rebuild the one-hot
+selectors from the saved indices, recompute the gathered values, and
+scatter the combined cotangent with transposed one-hot matmuls (the
+cotangent split into bf16 terms the same way), accumulating dvals in VMEM
+across query tiles.  Max/min cotangents are tie-split by the saved counts,
+matching jnp.max's VJP (and tf.reduce_max's).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "edge_reduce",
+    "edge_reduce_lax",
+    "edge_reduce_pallas",
+    "gather_neighbors",
+    "gather_neighbors_pallas",
+]
+
+# bf16 terms per exact-split matmul: 3 × 8 mantissa bits ≈ f32 (24 bits).
+_SPLIT_TERMS = 3
+# Cotangent scatters use 2 terms (~17 mantissa bits): gradient-precision
+# ample, saves one MXU pass per round (measured 6.8 → 6.2 ms bwd).
+_SCATTER_TERMS = 2
+
+
+def _pick_tile(n: int, biggest: int = 128) -> int:
+    cands = [c for c in (256, 128, 64, 32, 16, 8) if c <= biggest]
+    for cand in cands:
+        if n % cand == 0:
+            return cand
+    return n
+
+
+def _bf16_split(v: jnp.ndarray, terms: int = _SPLIT_TERMS) -> list[jnp.ndarray]:
+    parts = []
+    rem = v
+    for _ in range(terms):
+        p = rem.astype(jnp.bfloat16)
+        parts.append(p)
+        rem = rem - p.astype(jnp.float32)
+    return parts
+
+
+def _split_matmul(onehot_bf16, parts, transpose: bool = False) -> jnp.ndarray:
+    """Exact one-hot gather/scatter as bf16 term-matmuls accumulated in f32."""
+    dims = (((0,), (0,)), ((), ())) if transpose else (((1,), (0,)), ((), ()))
+    out = None
+    for p in parts:
+        t = lax.dot_general(
+            onehot_bf16, p, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        out = t if out is None else out + t
+    return out
+
+
+def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
+                cmax_ref, cmin_ref, idxt_ref, *, k: int, tile: int):
+    j = pl.program_id(1)
+    feats = feats_ref[0]  # [N, Cf]
+    parts = _bf16_split(vals_ref[0])  # [N, Cv] × terms
+    q = feats_ref[0, pl.ds(j * tile, tile), :]  # [T, Cf]
+
+    qq = jnp.sum(q * q, axis=1, keepdims=True)
+    kk = jnp.sum(feats * feats, axis=1)[None, :]
+    inner = lax.dot_general(
+        q, feats,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,  # bf16 would flip neighbor choices
+    )
+    d2 = jnp.maximum(qq - 2.0 * inner + kk, 0.0)  # [T, N]
+
+    cv = parts[0].shape[-1]
+    col = lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
+    mmax = jnp.full((tile, cv), -jnp.inf, jnp.float32)
+    mmin = jnp.full((tile, cv), jnp.inf, jnp.float32)
+    s = jnp.zeros((tile, cv), jnp.float32)
+    q2 = jnp.zeros((tile, cv), jnp.float32)
+    cmax = jnp.zeros((tile, cv), jnp.float32)
+    cmin = jnp.zeros((tile, cv), jnp.float32)
+    for r in range(k):
+        am = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [T]
+        onehot = col == am[:, None]
+        g = _split_matmul(onehot.astype(jnp.bfloat16), parts)  # [T, Cv]
+        cmax = jnp.where(g > mmax, 1.0, cmax + (g == mmax))
+        mmax = jnp.maximum(mmax, g)
+        cmin = jnp.where(g < mmin, 1.0, cmin + (g == mmin))
+        mmin = jnp.minimum(mmin, g)
+        s = s + g
+        q2 = q2 + g * g
+        idxt_ref[0, r, :] = am  # [k, T] layout: static sublane store
+        d2 = jnp.where(onehot, jnp.inf, d2)
+
+    mmax_ref[0] = mmax
+    mmin_ref[0] = mmin
+    s_ref[0] = s
+    q2_ref[0] = q2
+    cmax_ref[0] = cmax
+    cmin_ref[0] = cmin
+
+
+def _interpret() -> bool:
+    # Interpret mode off-TPU: the Pallas path (incl. its custom VJP) stays
+    # testable on the CPU suite.
+    return jax.default_backend() != "tpu"
+
+
+def _edge_reduce_fwd_pallas(feats, vals, k: int, interpret: bool = False):
+    b, n, cf = feats.shape
+    cv = vals.shape[-1]
+    tile = _pick_tile(n)
+    kernel = functools.partial(_fwd_kernel, k=k, tile=tile)
+    tile_spec = pl.BlockSpec((1, tile, cv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    *red, idxt = pl.pallas_call(
+        kernel,
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            tile_spec, tile_spec, tile_spec, tile_spec, tile_spec, tile_spec,
+            pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, n), jnp.int32),
+        ),
+        interpret=interpret,
+    )(feats.astype(jnp.float32), vals.astype(jnp.float32))
+    return (*red, jnp.swapaxes(idxt, 1, 2))
+
+
+def _bwd_kernel(idxt_ref, vals_ref, mmax_ref, mmin_ref, cmax_ref, cmin_ref,
+                dmax_ref, dmin_ref, ds_ref, dq2_ref, dvals_ref,
+                *, k: int, n: int, tile: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dvals_ref[0] = jnp.zeros_like(dvals_ref[0])
+
+    parts = _bf16_split(vals_ref[0])  # [N, Cv] × terms
+    mmax, mmin = mmax_ref[0], mmin_ref[0]
+    cmax = jnp.maximum(cmax_ref[0], 1.0)
+    cmin = jnp.maximum(cmin_ref[0], 1.0)
+    dmax, dmin, ds, dq2 = dmax_ref[0], dmin_ref[0], ds_ref[0], dq2_ref[0]
+
+    col = lax.broadcasted_iota(jnp.int32, (tile, n), dimension=1)
+    acc = jnp.zeros_like(dvals_ref[0])
+    for r in range(k):
+        am = idxt_ref[0, r, :]  # [T]
+        onehot = (col == am[:, None]).astype(jnp.bfloat16)  # [T, N]
+        # Recompute g EXACTLY as the forward did (same split) so the
+        # max/min equality masks select the same rows.
+        g = _split_matmul(onehot, parts)  # [T, Cv]
+        coeff = (
+            ds
+            + 2.0 * g * dq2
+            + jnp.where(g == mmax, dmax / cmax, 0.0)
+            + jnp.where(g == mmin, dmin / cmin, 0.0)
+        )
+        # Transposed one-hot scatter: dvals[idx[t,r]] += coeff[t] (the
+        # cotangent split into bf16 terms, sums accumulate in f32).
+        acc = acc + _split_matmul(
+            onehot, _bf16_split(coeff, _SCATTER_TERMS), transpose=True
+        )
+    dvals_ref[0] = dvals_ref[0] + acc
+
+
+def _edge_reduce_bwd_pallas(idx, vals, mmax, mmin, cmax, cmin,
+                            dmax, dmin, ds, dq2, k: int, interpret: bool = False):
+    b, n, cv = vals.shape
+    tile = _pick_tile(n, biggest=256)
+    kernel = functools.partial(_bwd_kernel, k=k, n=n, tile=tile)
+    tile_spec = pl.BlockSpec((1, tile, cv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    idxt = jnp.swapaxes(idx, 1, 2)  # [B, k, N]: static sublane row reads
+    dvals = pl.pallas_call(
+        kernel,
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            tile_spec, tile_spec, tile_spec, tile_spec,
+            tile_spec, tile_spec, tile_spec, tile_spec,
+        ],
+        # Same output block for every j: stays resident in VMEM and
+        # accumulates across query tiles (grid-revisiting rule).
+        out_specs=pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
+        interpret=interpret,
+    )(idxt, vals.astype(jnp.float32), mmax, mmin, cmax, cmin, dmax, dmin, ds, dq2)
+    return dvals
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def edge_reduce_pallas(feats, vals, k: int):
+    """Fused feature-space kNN + neighbor reductions of ``vals``.
+
+    Args:
+      feats: [B, N, Cf] the kNN feature space (self-edge included).
+      vals:  [B, N, Cv] the values to reduce over each point's neighbors.
+      k: neighbors per point (static).
+
+    Returns dict with mmax/mmin/s/q2 [B, N, Cv] (max / min / sum / sum-of-
+    squares of vals over the k neighbors), cntmax/cntmin tie counts, and the
+    neighbor idx [B, N, k].  Differentiable w.r.t. ``vals`` only.
+    """
+    mmax, mmin, s, q2, cmax, cmin, idx = _edge_reduce_fwd_pallas(
+        feats, vals, k, interpret=_interpret()
+    )
+    return {
+        "mmax": mmax, "mmin": mmin, "s": s, "q2": q2,
+        "cntmax": cmax, "cntmin": cmin, "idx": idx,
+    }
+
+
+def _er_fwd(feats, vals, k):
+    out = edge_reduce_pallas(feats, vals, k)
+    res = (feats, out["idx"], vals, out["mmax"], out["mmin"],
+           out["cntmax"], out["cntmin"])
+    return out, res
+
+
+def _er_bwd(k, res, cot):
+    feats, idx, vals, mmax, mmin, cmax, cmin = res
+    zeros = jnp.zeros_like(mmax)
+    dmax = cot.get("mmax", zeros)
+    dmin = cot.get("mmin", zeros)
+    ds = cot.get("s", zeros)
+    dq2 = cot.get("q2", zeros)
+    dvals = _edge_reduce_bwd_pallas(
+        idx, vals, mmax, mmin, cmax, cmin, dmax, dmin, ds, dq2, k,
+        interpret=_interpret(),
+    )
+    # kNN indices carry no gradient (reference top_k likewise).
+    return jnp.zeros_like(feats), dvals.astype(vals.dtype)
+
+
+edge_reduce_pallas.defvjp(_er_fwd, _er_bwd)
+
+
+def edge_reduce_lax(feats, vals, k: int):
+    """Reference lax composition: kNN graph + gather + reductions.
+    Differentiable in ``vals`` through the gather/max (same tie-splitting)."""
+    from scanobjectnn_tpu.ops.grouping import batched_index_gather, knn_graph_lax
+
+    idx = knn_graph_lax(lax.stop_gradient(feats), k)
+    g = batched_index_gather(vals, idx).astype(jnp.float32)  # [B, N, k, Cv]
+    mmax = jnp.max(g, axis=2)
+    mmin = jnp.min(g, axis=2)
+    return {
+        "mmax": mmax,
+        "mmin": mmin,
+        "s": jnp.sum(g, axis=2),
+        "q2": jnp.sum(g * g, axis=2),
+        "cntmax": jnp.sum(lax.stop_gradient(g) == mmax[:, :, None], axis=2).astype(jnp.float32),
+        "cntmin": jnp.sum(lax.stop_gradient(g) == mmin[:, :, None], axis=2).astype(jnp.float32),
+        "idx": idx,
+    }
+
+
+def edge_reduce(feats, vals, k: int):
+    """Backend-dispatching fused edge reduce (see edge_reduce_pallas)."""
+    from scanobjectnn_tpu.ops.fps import _use_pallas
+
+    if _use_pallas() and feats.shape[1] >= 256 and feats.shape[1] % 8 == 0:
+        return edge_reduce_pallas(lax.stop_gradient(feats), vals, k)
+    return edge_reduce_lax(feats, vals, k)
+
+
+# ---------------------------------------------------------------- gather
+
+def _gather_kernel(idxt_ref, vals_ref, out_ref, *, k: int, tile: int):
+    parts = _bf16_split(vals_ref[0])  # [N, Cv] × terms
+    n = parts[0].shape[0]
+    col = lax.broadcasted_iota(jnp.int32, (tile, n), dimension=1)
+    for r in range(k):
+        am = idxt_ref[0, r, :]  # [T]
+        onehot = (col == am[:, None]).astype(jnp.bfloat16)
+        out_ref[0, :, r, :] = _split_matmul(onehot, parts)  # [T, Cv]
+
+
+def _gather_bwd_kernel(idxt_ref, dout_ref, dvals_ref, *, k: int, n: int, tile: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dvals_ref[0] = jnp.zeros_like(dvals_ref[0])
+
+    col = lax.broadcasted_iota(jnp.int32, (tile, n), dimension=1)
+    acc = jnp.zeros_like(dvals_ref[0])
+    for r in range(k):
+        am = idxt_ref[0, r, :]
+        onehot = (col == am[:, None]).astype(jnp.bfloat16)
+        dg = dout_ref[0, :, r, :]  # [T, Cv]
+        acc = acc + _split_matmul(
+            onehot, _bf16_split(dg, _SCATTER_TERMS), transpose=True
+        )
+    dvals_ref[0] = dvals_ref[0] + acc
+
+
+def _gather_neighbors_fwd(vals, idx, interpret: bool = False):
+    b, n, cv = vals.shape
+    m, k = idx.shape[1], idx.shape[2]
+    tile = _pick_tile(m)
+    idxt = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)  # [B, k, M]
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, k=k, tile=tile),
+        grid=(b, m // tile),
+        in_specs=[
+            pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, k, cv), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m, k, cv), jnp.float32),
+        interpret=interpret,
+    )(idxt, vals.astype(jnp.float32))
+    return out
+
+
+def _gather_neighbors_bwd(idx, dout, n: int, interpret: bool = False):
+    b, m, k, cv = dout.shape
+    tile = _pick_tile(m, biggest=256)
+    idxt = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)
+    dvals = pl.pallas_call(
+        functools.partial(_gather_bwd_kernel, k=k, n=n, tile=tile),
+        grid=(b, m // tile),
+        in_specs=[
+            pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, k, cv), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
+        interpret=interpret,
+    )(idxt, dout.astype(jnp.float32))
+    return dvals
+
+
+@jax.custom_vjp
+def gather_neighbors_pallas(vals, idx):
+    """MXU row gather: [B, N, Cv], int32 [B, M, k] -> [B, M, k, Cv].
+
+    One-hot matmul formulation (3-term bf16 split = exact f32 values): on
+    v5e this runs the neighbor gather at MXU speed instead of XLA's
+    row-rate-limited gather (~30 GB/s effective).  Differentiable in
+    ``vals`` (VJP = transposed one-hot scatter-add matmuls).
+    """
+    return _gather_neighbors_fwd(vals, idx, interpret=_interpret())
+
+
+def _gn_fwd(vals, idx):
+    return gather_neighbors_pallas(vals, idx), (idx, vals)
+
+
+def _gn_bwd(res, dout):
+    idx, vals = res
+    dvals = _gather_neighbors_bwd(idx, dout, vals.shape[1], interpret=_interpret())
+    return dvals.astype(vals.dtype), None
+
+
+gather_neighbors_pallas.defvjp(_gn_fwd, _gn_bwd)
+
+
+def gather_neighbors(vals, idx):
+    """Backend-dispatching neighbor gather: Pallas one-hot matmuls on TPU
+    (for lane-friendly channel counts), XLA vmap gather elsewhere."""
+    from scanobjectnn_tpu.ops.fps import _use_pallas
+    from scanobjectnn_tpu.ops.grouping import batched_index_gather
+
+    cv = vals.shape[-1]
+    if (
+        _use_pallas()
+        and vals.shape[1] >= 256
+        and idx.shape[1] % 8 == 0
+        and cv % 8 == 0
+    ):
+        return gather_neighbors_pallas(vals, idx)
+    return batched_index_gather(vals, idx)
