@@ -242,3 +242,44 @@ class TestGMMVariants:
         fv = fisher.fisher_vector(pts, g.weights, g.means, g.stddevs)
         assert fv.shape == (2, 20, 8)
         assert np.isfinite(np.asarray(fv)).all()
+
+
+class TestFVPlots:
+    """3DmFV diagnostic plots (visualization.py:44-327) render headless."""
+
+    def test_all_plots_write_files(self, rng, tmp_path):
+        import jax.numpy as jnp
+
+        from scanobjectnn_tpu.nn import fisher
+        from scanobjectnn_tpu.viz import fvplots
+
+        gmm = fisher.get_3d_grid_gmm((3, 3, 3), 0.04)
+        pts = rng.rand(2, 64, 3).astype(np.float32) * 2 - 1
+        fv = fisher.fisher_vector(jnp.asarray(pts), gmm.weights, gmm.means, gmm.stddevs)
+        assert fv.shape == (2, 20, 27)
+
+        out = str(tmp_path / "fv.png")
+        fvplots.visualize_fv(np.asarray(fv), out, labels=["a", "b"])
+        assert (tmp_path / "fv.png").exists()
+
+        fvplots.draw_gaussians(gmm, str(tmp_path / "gmm.png"), points=pts[0])
+        assert (tmp_path / "gmm.png").exists()
+
+        fvplots.visualize_pc(pts[0], str(tmp_path / "pc.png"), title="cloud")
+        assert (tmp_path / "pc.png").exists()
+
+        seg = rng.randint(0, 4, 64)
+        cmap = [[1, 0, 0], [0, 1, 0], [0, 0, 1], [0.5, 0.5, 0.5]]
+        fvplots.visualize_pc_seg(pts[0], seg, cmap, str(tmp_path / "seg.png"))
+        assert (tmp_path / "seg.png").exists()
+
+        fvplots.visualize_pc_seg_diff(
+            pts[0], seg, rng.randint(0, 4, 64), str(tmp_path / "diff.png")
+        )
+        assert (tmp_path / "diff.png").exists()
+
+    def test_row_labels_match_fv_layout(self):
+        from scanobjectnn_tpu.nn.fisher import FV_FEATURES
+        from scanobjectnn_tpu.viz.fvplots import MINMAX_DERIVATIVE_LABELS
+
+        assert len(MINMAX_DERIVATIVE_LABELS) == FV_FEATURES
