@@ -28,7 +28,11 @@ from flax import linen as nn
 from scanobjectnn_tpu import ops
 from scanobjectnn_tpu.models import losses
 from scanobjectnn_tpu.nn.layers import BatchNorm, Dense, MLP
-from scanobjectnn_tpu.ops.pallas.edge_kernel import edge_reduce, gather_neighbors
+from scanobjectnn_tpu.ops.pallas.edge_kernel import (
+    edge_gather_knn,
+    edge_reduce,
+    gather_neighbors,
+)
 
 __all__ = ["DGCNN", "DGCNNBGA", "edge_feature"]
 
@@ -174,8 +178,15 @@ class _TnetEdgeMLP(nn.Module):
         c1 = dense0(jnp.concatenate([points, zeros], axis=-1))
         c2 = dense0(jnp.concatenate([zeros, points], axis=-1))
         a = c1 - c2
-        idx = ops.knn_graph(points, self.k)
-        bj = gather_neighbors(c2, idx)  # [B, N, k, 64]
+        from scanobjectnn_tpu.ops.fps import _use_pallas
+
+        if _use_pallas() and points.shape[1] >= 256 and points.shape[1] % 8 == 0:
+            # kNN + gather in ONE kernel: the gathered rows fall out of the
+            # extraction rounds' one-hot matmuls for free.
+            bj, _ = edge_gather_knn(jax.lax.stop_gradient(points), c2, self.k)
+        else:
+            idx = ops.knn_graph(points, self.k)
+            bj = gather_neighbors(c2, idx)  # [B, N, k, 64]
         e1 = a[:, :, None, :] + bj
         e1 = BatchNorm(dtype=self.dtype, axis_name=self.bn_axis_name, name="bn_0")(
             e1, use_running_average=not train, momentum=bn_momentum

@@ -53,6 +53,7 @@ __all__ = [
     "edge_reduce_pallas",
     "gather_neighbors",
     "gather_neighbors_pallas",
+    "edge_gather_knn",
 ]
 
 # bf16 terms per exact-split matmul: 3 × 8 mantissa bits ≈ f32 (24 bits).
@@ -80,16 +81,27 @@ def _bf16_split(v: jnp.ndarray, terms: int = _SPLIT_TERMS) -> list[jnp.ndarray]:
     return parts
 
 
-def _split_matmul(onehot_bf16, parts, transpose: bool = False) -> jnp.ndarray:
-    """Exact one-hot gather/scatter as bf16 term-matmuls accumulated in f32."""
+def _bf16_pack(v: jnp.ndarray, terms: int = _SPLIT_TERMS) -> jnp.ndarray:
+    """Split into bf16 terms packed side-by-side: [N, C] -> [N, terms*C]."""
+    parts = _bf16_split(v, terms)
+    return parts[0] if terms == 1 else jnp.concatenate(parts, axis=-1)
+
+
+def _split_matmul(onehot_bf16, packed_rhs, c: int, transpose: bool = False) -> jnp.ndarray:
+    """Exact one-hot gather/scatter: ONE matmul against the packed bf16
+    terms, term-columns summed in f32 after.  An MXU matmul narrower than
+    128 output columns costs the same cycles as a 128-wide one, so at C=64
+    packing turns 3 half-wide passes into 2 full-wide ones (and the 2-term
+    scatter into 1)."""
     dims = (((0,), (0,)), ((), ())) if transpose else (((1,), (0,)), ((), ()))
-    out = None
-    for p in parts:
-        t = lax.dot_general(
-            onehot_bf16, p, dimension_numbers=dims,
-            preferred_element_type=jnp.float32,
-        )
-        out = t if out is None else out + t
+    packed = lax.dot_general(
+        onehot_bf16, packed_rhs, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    terms = packed.shape[-1] // c
+    out = packed[..., :c]
+    for i in range(1, terms):
+        out = out + packed[..., i * c : (i + 1) * c]
     return out
 
 
@@ -97,7 +109,8 @@ def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
                 cmax_ref, cmin_ref, idxt_ref, *, k: int, tile: int):
     j = pl.program_id(1)
     feats = feats_ref[0]  # [N, Cf]
-    parts = _bf16_split(vals_ref[0])  # [N, Cv] × terms
+    cv = vals_ref[0].shape[-1]
+    packed_vals = _bf16_pack(vals_ref[0])  # [N, terms*Cv]
     q = feats_ref[0, pl.ds(j * tile, tile), :]  # [T, Cf]
 
     qq = jnp.sum(q * q, axis=1, keepdims=True)
@@ -110,7 +123,6 @@ def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
     )
     d2 = jnp.maximum(qq - 2.0 * inner + kk, 0.0)  # [T, N]
 
-    cv = parts[0].shape[-1]
     col = lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
     mmax = jnp.full((tile, cv), -jnp.inf, jnp.float32)
     mmin = jnp.full((tile, cv), jnp.inf, jnp.float32)
@@ -121,7 +133,7 @@ def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
     for r in range(k):
         am = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [T]
         onehot = col == am[:, None]
-        g = _split_matmul(onehot.astype(jnp.bfloat16), parts)  # [T, Cv]
+        g = _split_matmul(onehot.astype(jnp.bfloat16), packed_vals, cv)  # [T, Cv]
         cmax = jnp.where(g > mmax, 1.0, cmax + (g == mmax))
         mmax = jnp.maximum(mmax, g)
         cmin = jnp.where(g < mmin, 1.0, cmin + (g == mmin))
@@ -185,7 +197,8 @@ def _bwd_kernel(idxt_ref, vals_ref, mmax_ref, mmin_ref, cmax_ref, cmin_ref,
     def _():
         dvals_ref[0] = jnp.zeros_like(dvals_ref[0])
 
-    parts = _bf16_split(vals_ref[0])  # [N, Cv] × terms
+    packed_vals = _bf16_pack(vals_ref[0])  # [N, terms*Cv]
+    cv = vals_ref[0].shape[-1]
     mmax, mmin = mmax_ref[0], mmin_ref[0]
     cmax = jnp.maximum(cmax_ref[0], 1.0)
     cmin = jnp.maximum(cmin_ref[0], 1.0)
@@ -198,7 +211,7 @@ def _bwd_kernel(idxt_ref, vals_ref, mmax_ref, mmin_ref, cmax_ref, cmin_ref,
         onehot = (col == am[:, None]).astype(jnp.bfloat16)  # [T, N]
         # Recompute g EXACTLY as the forward did (same split) so the
         # max/min equality masks select the same rows.
-        g = _split_matmul(onehot, parts)  # [T, Cv]
+        g = _split_matmul(onehot, packed_vals, cv)  # [T, Cv]
         coeff = (
             ds
             + 2.0 * g * dq2
@@ -208,7 +221,7 @@ def _bwd_kernel(idxt_ref, vals_ref, mmax_ref, mmin_ref, cmax_ref, cmin_ref,
         # Transposed one-hot scatter: dvals[idx[t,r]] += coeff[t] (the
         # cotangent split into bf16 terms, sums accumulate in f32).
         acc = acc + _split_matmul(
-            onehot, _bf16_split(coeff, _SCATTER_TERMS), transpose=True
+            onehot, _bf16_pack(coeff, _SCATTER_TERMS), cv, transpose=True
         )
     dvals_ref[0] = dvals_ref[0] + acc
 
@@ -216,7 +229,8 @@ def _bwd_kernel(idxt_ref, vals_ref, mmax_ref, mmin_ref, cmax_ref, cmin_ref,
 def _edge_reduce_bwd_pallas(idx, vals, mmax, mmin, cmax, cmin,
                             dmax, dmin, ds, dq2, k: int, interpret: bool = False):
     b, n, cv = vals.shape
-    tile = _pick_tile(n, biggest=256)
+    # t128: 20 unrolled bf16 one-hots at t256 blow the 16M scoped-VMEM cap.
+    tile = _pick_tile(n)
     kernel = functools.partial(_bwd_kernel, k=k, n=n, tile=tile)
     tile_spec = pl.BlockSpec((1, tile, cv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     idxt = jnp.swapaxes(idx, 1, 2)  # [B, k, N]: static sublane row reads
@@ -317,13 +331,13 @@ def edge_reduce(feats, vals, k: int):
 # ---------------------------------------------------------------- gather
 
 def _gather_kernel(idxt_ref, vals_ref, out_ref, *, k: int, tile: int):
-    parts = _bf16_split(vals_ref[0])  # [N, Cv] × terms
-    n = parts[0].shape[0]
+    packed_vals = _bf16_pack(vals_ref[0])  # [N, terms*Cv]
+    n, cv = vals_ref[0].shape
     col = lax.broadcasted_iota(jnp.int32, (tile, n), dimension=1)
     for r in range(k):
         am = idxt_ref[0, r, :]  # [T]
         onehot = (col == am[:, None]).astype(jnp.bfloat16)
-        out_ref[0, :, r, :] = _split_matmul(onehot, parts)  # [T, Cv]
+        out_ref[0, :, r, :] = _split_matmul(onehot, packed_vals, cv)  # [T, Cv]
 
 
 def _gather_bwd_kernel(idxt_ref, dout_ref, dvals_ref, *, k: int, n: int, tile: int):
@@ -340,7 +354,8 @@ def _gather_bwd_kernel(idxt_ref, dout_ref, dvals_ref, *, k: int, n: int, tile: i
         onehot = (col == am[:, None]).astype(jnp.bfloat16)
         dg = dout_ref[0, :, r, :]  # [T, Cv]
         acc = acc + _split_matmul(
-            onehot, _bf16_split(dg, _SCATTER_TERMS), transpose=True
+            onehot, _bf16_pack(dg, _SCATTER_TERMS), dvals_ref[0].shape[-1],
+            transpose=True,
         )
     dvals_ref[0] = dvals_ref[0] + acc
 
@@ -424,3 +439,81 @@ def gather_neighbors(vals, idx):
     ):
         return gather_neighbors_pallas(vals, idx)
     return batched_index_gather(vals, idx)
+
+
+# ------------------------------------------------------- fused kNN + gather
+
+def _knn_gather_kernel(feats_ref, vals_ref, out_ref, idxt_ref, *, k: int, tile: int):
+    j = pl.program_id(1)
+    feats = feats_ref[0]  # [N, Cf]
+    cv = vals_ref[0].shape[-1]
+    packed_vals = _bf16_pack(vals_ref[0])
+    q = feats_ref[0, pl.ds(j * tile, tile), :]
+
+    qq = jnp.sum(q * q, axis=1, keepdims=True)
+    kk = jnp.sum(feats * feats, axis=1)[None, :]
+    inner = lax.dot_general(
+        q, feats,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    d2 = jnp.maximum(qq - 2.0 * inner + kk, 0.0)
+
+    col = lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
+    for r in range(k):
+        am = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        onehot = col == am[:, None]
+        out_ref[0, :, r, :] = _split_matmul(onehot.astype(jnp.bfloat16), packed_vals, cv)
+        idxt_ref[0, r, :] = am
+        d2 = jnp.where(onehot, jnp.inf, d2)
+
+
+def _knn_gather_fwd(feats, vals, k: int, interpret: bool = False):
+    b, n, cf = feats.shape
+    cv = vals.shape[-1]
+    tile = _pick_tile(n)
+    out, idxt = pl.pallas_call(
+        functools.partial(_knn_gather_kernel, k=k, tile=tile),
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, k, cv), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, k, cv), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, n), jnp.int32),
+        ),
+        interpret=interpret,
+    )(feats.astype(jnp.float32), vals.astype(jnp.float32))
+    return out, jnp.swapaxes(idxt, 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def edge_gather_knn(feats, vals, k: int):
+    """Fused feature-space kNN + neighbor gather: the gathered rows are
+    emitted straight from the extraction rounds' one-hot matmuls, so the
+    gather costs no extra time over the kNN itself.
+
+    Returns (gathered [B, N, k, Cv], idx [B, N, k]).  Differentiable in
+    ``vals`` only (VJP = the gather_neighbors scatter kernel)."""
+    return _knn_gather_fwd(feats, vals, k, interpret=_interpret())
+
+
+def _egk_fwd(feats, vals, k):
+    out, idx = edge_gather_knn(feats, vals, k)
+    return (out, idx), (feats, vals, idx)
+
+
+def _egk_bwd(k, res, cot):
+    feats, vals, idx = res
+    dout, _ = cot  # idx is integer output — no cotangent
+    dvals = _gather_neighbors_bwd(idx, dout, vals.shape[1], interpret=_interpret())
+    return jnp.zeros_like(feats), dvals.astype(vals.dtype)
+
+
+edge_gather_knn.defvjp(_egk_fwd, _egk_bwd)

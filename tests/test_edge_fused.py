@@ -258,3 +258,21 @@ class TestFusedSpiderConv:
         yf = fused.apply(vf, pts, train=False)["logits"]
         yp = plain.apply(vf, pts, train=False)["logits"]
         np.testing.assert_allclose(np.asarray(yf), np.asarray(yp), rtol=1e-4, atol=1e-5)
+
+
+class TestEdgeGatherKnn:
+    def test_matches_knn_plus_gather(self, rng):
+        from scanobjectnn_tpu.ops.grouping import batched_index_gather, knn_graph_lax
+        from scanobjectnn_tpu.ops.pallas.edge_kernel import edge_gather_knn
+
+        feats = _data(rng, b=2, n=64, c=3)
+        vals = _data(rng, b=2, n=64, c=16)
+        got, idx = edge_gather_knn(feats, vals, 8)
+        want_idx = knn_graph_lax(feats, 8)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+        want = batched_index_gather(vals, want_idx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+        gp = jax.grad(lambda v: jnp.sum(jnp.sin(edge_gather_knn(feats, v, 8)[0])))(vals)
+        gl = jax.grad(lambda v: jnp.sum(jnp.sin(batched_index_gather(v, want_idx))))(vals)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gl), rtol=1e-5, atol=1e-6)
