@@ -26,9 +26,27 @@ from flax import linen as nn
 from scanobjectnn_tpu import ops
 from scanobjectnn_tpu.models import losses
 from scanobjectnn_tpu.nn.layers import BatchNorm, Dense, default_kernel_init
-from scanobjectnn_tpu.ops.pallas.edge_kernel import gather_neighbors
+from scanobjectnn_tpu.ops.pallas.edge_kernel import edge_gather_knn
+from scanobjectnn_tpu.ops.pallas.spider_kernel import spider_conv
 
 __all__ = ["SpiderConv", "SpiderCNNCls", "taylor_basis"]
+
+
+class _DenseParams(nn.Module):
+    """Creates the exact parameter tree of ``Dense`` (kernel + bias, same
+    initializers) without running its matmul — the fused spiderConv kernel
+    consumes the weights directly, and fused/unfused share checkpoints."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", default_kernel_init, (self.in_features, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
 
 
 def taylor_basis(delta: jnp.ndarray) -> jnp.ndarray:
@@ -77,8 +95,6 @@ class SpiderConv(nn.Module):
     ) -> jnp.ndarray:
         b, n, k = idx.shape
         c_in = feat.shape[-1]
-        gather = gather_neighbors if self.fused else ops.group_point
-        grouped = gather(feat, idx)  # [B, N, K, C_in]
 
         # g_d: one learned linear combination of the 20 monomials per taylor
         # channel (the reference's 20 separate tiled weight tensors,
@@ -89,19 +105,36 @@ class SpiderConv(nn.Module):
             "taylor_weights", default_kernel_init, (20, self.taylor_channels), jnp.float32
         )
         dtype = self.dtype or feat.dtype
-        g_d = jnp.einsum(
-            "bnkm,mt->bnkt", basis.astype(dtype), w.astype(dtype),
-            preferred_element_type=jnp.float32,
-        )  # [B, N, K, T]
+        kernel, bias = _DenseParams(
+            k * c_in * self.taylor_channels, self.features_out, name="conv"
+        )()
 
-        # The outer product feeds the conv matmul directly; XLA operand-
-        # fuses it, so the [B, N, K, C·T] tensor is not materialized.
-        # (Negative results recorded in BENCHMARKS.md: a lax.scan over K
-        # pays 2.7 GB of carry dynamic-update-slices, an unrolled per-k
-        # loop materializes 20 [B,N,T,O] terms — both SLOWER.)
-        prod = jnp.einsum("bnkc,bnkt->bnkct", grouped.astype(dtype), g_d.astype(dtype))
-        prod = prod.reshape(b, n, k * c_in * self.taylor_channels)
-        out = Dense(self.features_out, dtype=self.dtype, name="conv")(prod)
+        if self.fused:
+            # Fully-fused Pallas path: gather + outer product + conv matmul
+            # in one VMEM-resident program (ops/pallas/spider_kernel.py) —
+            # the [B,N,K,C] gather and [B,N,K·C·T] operand never hit HBM.
+            g_d = jnp.einsum("bnkm,mt->bnkt", basis, w)  # f32
+            out = spider_conv(feat.astype(jnp.float32), idx, g_d, kernel)
+            out = (out + bias).astype(dtype)
+        else:
+            # Direct XLA dataflow (the parity oracle).  The outer product
+            # feeds the conv matmul directly; XLA operand-fuses it, so the
+            # [B, N, K, C·T] tensor is not materialized.  (Negative results
+            # recorded in BENCHMARKS.md: a lax.scan over K pays 2.7 GB of
+            # carry dynamic-update-slices, an unrolled per-k loop
+            # materializes 20 [B,N,T,O] terms — both SLOWER.)
+            grouped = ops.group_point(feat, idx)  # [B, N, K, C_in]
+            g_d = jnp.einsum(
+                "bnkm,mt->bnkt", basis.astype(dtype), w.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )  # [B, N, K, T]
+            prod = jnp.einsum("bnkc,bnkt->bnkct", grouped.astype(dtype), g_d.astype(dtype))
+            prod = prod.reshape(b, n, k * c_in * self.taylor_channels)
+            out = jnp.einsum(
+                "...i,io->...o", prod, kernel.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            out = (out + bias).astype(dtype)
 
         if self.use_gn:
             out = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, dtype=self.dtype)(out)
@@ -148,17 +181,22 @@ class SpiderCNNCls(nn.Module):
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, train: bool = False, bn_momentum=0.9):
-        b = points.shape[0]
+        from scanobjectnn_tpu.ops.fps import _use_pallas
+
+        b, n, _ = points.shape
         # One kNN on xyz, reused by every layer (includes self as first hit —
         # the reference's knn_point over identical sets behaves the same).
         # knn_graph == knn_point(k, x, x).idx and dispatches to the Pallas
         # kernel on TPU.
-        idx = ops.knn_graph(points, self.nsample)
-        if self.fused:
-            # xyz padded to 8 lanes so the MXU one-hot gather applies.
+        if self.fused and _use_pallas() and n >= 256 and n % 8 == 0:
+            # kNN + xyz gather in ONE kernel (the gathered rows fall out of
+            # the extraction rounds' one-hot matmuls for free); xyz padded
+            # to 8 lanes so the MXU gather applies.
             pts8 = jnp.pad(points, ((0, 0), (0, 0), (0, 5)))
-            grouped_xyz = gather_neighbors(pts8, idx)[..., :3]
+            grouped_xyz, idx = edge_gather_knn(points, pts8, self.nsample)
+            grouped_xyz = grouped_xyz[..., :3]
         else:
+            idx = ops.knn_graph(points, self.nsample)
             grouped_xyz = ops.group_point(points, idx)
         delta = grouped_xyz - points[:, :, None, :]  # [B, N, K, 3]
 

@@ -29,12 +29,16 @@ do the same job in 6 MXU passes but costs +3.5 ms (measured); the split
 costs ~0.2 ms.
 
 Backward (custom VJP, w.r.t. the values only — kNN indices carry no
-gradient, matching the reference's NoGradient top_k): rebuild the one-hot
-selectors from the saved indices, recompute the gathered values, and
-scatter the combined cotangent with transposed one-hot matmuls (the
-cotangent split into bf16 terms the same way), accumulating dvals in VMEM
-across query tiles.  Max/min cotangents are tie-split by the saved counts,
-matching jnp.max's VJP (and tf.reduce_max's).
+gradient, matching the reference's NoGradient top_k): the forward also
+saves the gathered values g (k-major [B, k, N, Cv] — nearly free, they are
+already in VMEM), the per-edge cotangent coeff = ds + 2g·dq2 +
+tie-split max/min terms is one fused XLA elementwise pass over it (the
+equality masks select the bit-identical forward values), and ONE batched
+one-hot scatter (onehot.flat_scatter) accumulates dvals — no per-round
+loop anywhere.  Tie-splitting matches jnp.max's VJP (and tf.reduce_max's).
+An earlier per-round backward kernel (rebuild one-hot, regather, scatter,
+20 small dependent matmuls) measured 4.2 ms vs this path's ~3.1 ms, and
+the same restructuring took gather_neighbors fwd+bwd from 9.2 to 5.8 ms.
 """
 
 from __future__ import annotations
@@ -56,57 +60,19 @@ __all__ = [
     "edge_gather_knn",
 ]
 
-# bf16 terms per exact-split matmul: 3 × 8 mantissa bits ≈ f32 (24 bits).
-_SPLIT_TERMS = 3
-# Cotangent scatters use 2 terms (~17 mantissa bits): gradient-precision
-# ample, saves one MXU pass per round (measured 6.8 → 6.2 ms bwd).
-_SCATTER_TERMS = 2
-
-
-def _pick_tile(n: int, biggest: int = 128) -> int:
-    cands = [c for c in (256, 128, 64, 32, 16, 8) if c <= biggest]
-    for cand in cands:
-        if n % cand == 0:
-            return cand
-    return n
-
-
-def _bf16_split(v: jnp.ndarray, terms: int = _SPLIT_TERMS) -> list[jnp.ndarray]:
-    parts = []
-    rem = v
-    for _ in range(terms):
-        p = rem.astype(jnp.bfloat16)
-        parts.append(p)
-        rem = rem - p.astype(jnp.float32)
-    return parts
-
-
-def _bf16_pack(v: jnp.ndarray, terms: int = _SPLIT_TERMS) -> jnp.ndarray:
-    """Split into bf16 terms packed side-by-side: [N, C] -> [N, terms*C]."""
-    parts = _bf16_split(v, terms)
-    return parts[0] if terms == 1 else jnp.concatenate(parts, axis=-1)
-
-
-def _split_matmul(onehot_bf16, packed_rhs, c: int, transpose: bool = False) -> jnp.ndarray:
-    """Exact one-hot gather/scatter: ONE matmul against the packed bf16
-    terms, term-columns summed in f32 after.  An MXU matmul narrower than
-    128 output columns costs the same cycles as a 128-wide one, so at C=64
-    packing turns 3 half-wide passes into 2 full-wide ones (and the 2-term
-    scatter into 1)."""
-    dims = (((0,), (0,)), ((), ())) if transpose else (((1,), (0,)), ((), ()))
-    packed = lax.dot_general(
-        onehot_bf16, packed_rhs, dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-    )
-    terms = packed.shape[-1] // c
-    out = packed[..., :c]
-    for i in range(1, terms):
-        out = out + packed[..., i * c : (i + 1) * c]
-    return out
+from scanobjectnn_tpu.ops.pallas.onehot import (  # noqa: F401  (re-exports)
+    _bf16_pack,
+    _bf16_split,
+    _interpret,
+    _pick_tile,
+    _split_matmul,
+    _SCATTER_TERMS,
+    _SPLIT_TERMS,
+)
 
 
 def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
-                cmax_ref, cmin_ref, idxt_ref, *, k: int, tile: int):
+                cmax_ref, cmin_ref, idxt_ref, gall_ref, *, k: int, tile: int):
     j = pl.program_id(1)
     feats = feats_ref[0]  # [N, Cf]
     cv = vals_ref[0].shape[-1]
@@ -141,6 +107,7 @@ def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
         s = s + g
         q2 = q2 + g * g
         idxt_ref[0, r, :] = am  # [k, T] layout: static sublane store
+        gall_ref[0, r] = g  # saved for the batched-scatter backward
         d2 = jnp.where(onehot, jnp.inf, d2)
 
     mmax_ref[0] = mmax
@@ -151,19 +118,13 @@ def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
     cmin_ref[0] = cmin
 
 
-def _interpret() -> bool:
-    # Interpret mode off-TPU: the Pallas path (incl. its custom VJP) stays
-    # testable on the CPU suite.
-    return jax.default_backend() != "tpu"
-
-
 def _edge_reduce_fwd_pallas(feats, vals, k: int, interpret: bool = False):
     b, n, cf = feats.shape
     cv = vals.shape[-1]
-    tile = _pick_tile(n)
+    tile = _pick_tile(n)  # t256 measured SLOWER (5.5 vs 4.2 ms fwd)
     kernel = functools.partial(_fwd_kernel, k=k, tile=tile)
     tile_spec = pl.BlockSpec((1, tile, cv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    *red, idxt = pl.pallas_call(
+    *red, idxt, gall = pl.pallas_call(
         kernel,
         grid=(b, n // tile),
         in_specs=[
@@ -173,6 +134,7 @@ def _edge_reduce_fwd_pallas(feats, vals, k: int, interpret: bool = False):
         out_specs=(
             tile_spec, tile_spec, tile_spec, tile_spec, tile_spec, tile_spec,
             pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tile, cv), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
@@ -182,74 +144,11 @@ def _edge_reduce_fwd_pallas(feats, vals, k: int, interpret: bool = False):
             jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
             jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
             jax.ShapeDtypeStruct((b, k, n), jnp.int32),
+            jax.ShapeDtypeStruct((b, k, n, cv), jnp.float32),
         ),
         interpret=interpret,
     )(feats.astype(jnp.float32), vals.astype(jnp.float32))
-    return (*red, jnp.swapaxes(idxt, 1, 2))
-
-
-def _bwd_kernel(idxt_ref, vals_ref, mmax_ref, mmin_ref, cmax_ref, cmin_ref,
-                dmax_ref, dmin_ref, ds_ref, dq2_ref, dvals_ref,
-                *, k: int, n: int, tile: int):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        dvals_ref[0] = jnp.zeros_like(dvals_ref[0])
-
-    packed_vals = _bf16_pack(vals_ref[0])  # [N, terms*Cv]
-    cv = vals_ref[0].shape[-1]
-    mmax, mmin = mmax_ref[0], mmin_ref[0]
-    cmax = jnp.maximum(cmax_ref[0], 1.0)
-    cmin = jnp.maximum(cmin_ref[0], 1.0)
-    dmax, dmin, ds, dq2 = dmax_ref[0], dmin_ref[0], ds_ref[0], dq2_ref[0]
-
-    col = lax.broadcasted_iota(jnp.int32, (tile, n), dimension=1)
-    acc = jnp.zeros_like(dvals_ref[0])
-    for r in range(k):
-        am = idxt_ref[0, r, :]  # [T]
-        onehot = (col == am[:, None]).astype(jnp.bfloat16)  # [T, N]
-        # Recompute g EXACTLY as the forward did (same split) so the
-        # max/min equality masks select the same rows.
-        g = _split_matmul(onehot, packed_vals, cv)  # [T, Cv]
-        coeff = (
-            ds
-            + 2.0 * g * dq2
-            + jnp.where(g == mmax, dmax / cmax, 0.0)
-            + jnp.where(g == mmin, dmin / cmin, 0.0)
-        )
-        # Transposed one-hot scatter: dvals[idx[t,r]] += coeff[t] (the
-        # cotangent split into bf16 terms, sums accumulate in f32).
-        acc = acc + _split_matmul(
-            onehot, _bf16_pack(coeff, _SCATTER_TERMS), cv, transpose=True
-        )
-    dvals_ref[0] = dvals_ref[0] + acc
-
-
-def _edge_reduce_bwd_pallas(idx, vals, mmax, mmin, cmax, cmin,
-                            dmax, dmin, ds, dq2, k: int, interpret: bool = False):
-    b, n, cv = vals.shape
-    # t128: 20 unrolled bf16 one-hots at t256 blow the 16M scoped-VMEM cap.
-    tile = _pick_tile(n)
-    kernel = functools.partial(_bwd_kernel, k=k, n=n, tile=tile)
-    tile_spec = pl.BlockSpec((1, tile, cv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    idxt = jnp.swapaxes(idx, 1, 2)  # [B, k, N]: static sublane row reads
-    dvals = pl.pallas_call(
-        kernel,
-        grid=(b, n // tile),
-        in_specs=[
-            pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            tile_spec, tile_spec, tile_spec, tile_spec,
-            tile_spec, tile_spec, tile_spec, tile_spec,
-        ],
-        # Same output block for every j: stays resident in VMEM and
-        # accumulates across query tiles (grid-revisiting rule).
-        out_specs=pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
-        interpret=interpret,
-    )(idxt, vals.astype(jnp.float32), mmax, mmin, cmax, cmin, dmax, dmin, ds, dq2)
-    return dvals
+    return (*red, jnp.swapaxes(idxt, 1, 2), gall)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -265,7 +164,7 @@ def edge_reduce_pallas(feats, vals, k: int):
     squares of vals over the k neighbors), cntmax/cntmin tie counts, and the
     neighbor idx [B, N, k].  Differentiable w.r.t. ``vals`` only.
     """
-    mmax, mmin, s, q2, cmax, cmin, idx = _edge_reduce_fwd_pallas(
+    mmax, mmin, s, q2, cmax, cmin, idx, _ = _edge_reduce_fwd_pallas(
         feats, vals, k, interpret=_interpret()
     )
     return {
@@ -275,22 +174,42 @@ def edge_reduce_pallas(feats, vals, k: int):
 
 
 def _er_fwd(feats, vals, k):
-    out = edge_reduce_pallas(feats, vals, k)
-    res = (feats, out["idx"], vals, out["mmax"], out["mmin"],
-           out["cntmax"], out["cntmin"])
+    mmax, mmin, s, q2, cmax, cmin, idx, gall = _edge_reduce_fwd_pallas(
+        feats, vals, k, interpret=_interpret()
+    )
+    out = {
+        "mmax": mmax, "mmin": mmin, "s": s, "q2": q2,
+        "cntmax": cmax, "cntmin": cmin, "idx": idx,
+    }
+    res = (feats, idx, vals, mmax, mmin, cmax, cmin, gall)
     return out, res
 
 
 def _er_bwd(k, res, cot):
-    feats, idx, vals, mmax, mmin, cmax, cmin = res
+    from scanobjectnn_tpu.ops.pallas.onehot import _flat_scatter_impl
+
+    feats, idx, vals, mmax, mmin, cmax, cmin, gall = res
     zeros = jnp.zeros_like(mmax)
     dmax = cot.get("mmax", zeros)
     dmin = cot.get("mmin", zeros)
     ds = cot.get("s", zeros)
     dq2 = cot.get("q2", zeros)
-    dvals = _edge_reduce_bwd_pallas(
-        idx, vals, mmax, mmin, cmax, cmin, dmax, dmin, ds, dq2, k,
-        interpret=_interpret(),
+    # Per-edge cotangent on the saved k-major gather [B, k, N, Cv]; the
+    # max/min equality masks select the exact forward values (gall is the
+    # bit-identical g the forward reduced).  Tie-splitting matches jnp.max.
+    coeff = (
+        ds[:, None]
+        + 2.0 * gall * dq2[:, None]
+        + jnp.where(gall == mmax[:, None], (dmax / jnp.maximum(cmax, 1.0))[:, None], 0.0)
+        + jnp.where(gall == mmin[:, None], (dmin / jnp.maximum(cmin, 1.0))[:, None], 0.0)
+    )
+    b, _, n, cv = gall.shape
+    # The scatter only needs coeff rows and idx rows in the SAME order —
+    # keep coeff k-major (a free bitcast) and transpose the tiny int32
+    # idx instead of the 168 MB coeff tensor.
+    dvals = _flat_scatter_impl(
+        jnp.swapaxes(idx, 1, 2).reshape(b, k * n),
+        coeff.reshape(b, k * n, cv), n, interpret=_interpret(),
     )
     # kNN indices carry no gradient (reference top_k likewise).
     return jnp.zeros_like(feats), dvals.astype(vals.dtype)
@@ -330,85 +249,25 @@ def edge_reduce(feats, vals, k: int):
 
 # ---------------------------------------------------------------- gather
 
-def _gather_kernel(idxt_ref, vals_ref, out_ref, *, k: int, tile: int):
-    packed_vals = _bf16_pack(vals_ref[0])  # [N, terms*Cv]
-    n, cv = vals_ref[0].shape
-    col = lax.broadcasted_iota(jnp.int32, (tile, n), dimension=1)
-    for r in range(k):
-        am = idxt_ref[0, r, :]  # [T]
-        onehot = (col == am[:, None]).astype(jnp.bfloat16)
-        out_ref[0, :, r, :] = _split_matmul(onehot, packed_vals, cv)  # [T, Cv]
-
-
-def _gather_bwd_kernel(idxt_ref, dout_ref, dvals_ref, *, k: int, n: int, tile: int):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        dvals_ref[0] = jnp.zeros_like(dvals_ref[0])
-
-    col = lax.broadcasted_iota(jnp.int32, (tile, n), dimension=1)
-    acc = jnp.zeros_like(dvals_ref[0])
-    for r in range(k):
-        am = idxt_ref[0, r, :]
-        onehot = (col == am[:, None]).astype(jnp.bfloat16)
-        dg = dout_ref[0, :, r, :]  # [T, Cv]
-        acc = acc + _split_matmul(
-            onehot, _bf16_pack(dg, _SCATTER_TERMS), dvals_ref[0].shape[-1],
-            transpose=True,
-        )
-    dvals_ref[0] = dvals_ref[0] + acc
-
-
-def _gather_neighbors_fwd(vals, idx, interpret: bool = False):
-    b, n, cv = vals.shape
-    m, k = idx.shape[1], idx.shape[2]
-    tile = _pick_tile(m)
-    idxt = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)  # [B, k, M]
-    out = pl.pallas_call(
-        functools.partial(_gather_kernel, k=k, tile=tile),
-        grid=(b, m // tile),
-        in_specs=[
-            pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile, k, cv), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, m, k, cv), jnp.float32),
-        interpret=interpret,
-    )(idxt, vals.astype(jnp.float32))
-    return out
-
-
-def _gather_neighbors_bwd(idx, dout, n: int, interpret: bool = False):
-    b, m, k, cv = dout.shape
-    tile = _pick_tile(m, biggest=256)
-    idxt = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)
-    dvals = pl.pallas_call(
-        functools.partial(_gather_bwd_kernel, k=k, n=n, tile=tile),
-        grid=(b, m // tile),
-        in_specs=[
-            pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, k, cv), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
-        interpret=interpret,
-    )(idxt, dout.astype(jnp.float32))
-    return dvals
-
-
 @jax.custom_vjp
 def gather_neighbors_pallas(vals, idx):
     """MXU row gather: [B, N, Cv], int32 [B, M, k] -> [B, M, k, Cv].
 
-    One-hot matmul formulation (3-term bf16 split = exact f32 values): on
-    v5e this runs the neighbor gather at MXU speed instead of XLA's
-    row-rate-limited gather (~30 GB/s effective).  Differentiable in
-    ``vals`` (VJP = transposed one-hot scatter-add matmuls).
+    ALL (point, slot) rows of a tile batch into ONE one-hot matmul
+    (onehot.flat_gather, 3-term bf16 split = exact f32 values): on v5e this
+    runs the neighbor gather at MXU throughput instead of XLA's
+    row-rate-limited gather (~30 GB/s effective) or the earlier
+    latency-bound per-slot rounds.  Differentiable in ``vals``
+    (VJP = one batched transposed one-hot scatter-add).
     """
-    return _gather_neighbors_fwd(vals, idx, interpret=_interpret())
+    from scanobjectnn_tpu.ops.pallas.onehot import _flat_gather_impl
+
+    b, m, k = idx.shape
+    out = _flat_gather_impl(
+        vals.astype(jnp.float32), idx.reshape(b, m * k),
+        exact=True, interpret=_interpret(),
+    )
+    return out.reshape(b, m, k, vals.shape[-1])
 
 
 def _gn_fwd(vals, idx):
@@ -416,8 +275,15 @@ def _gn_fwd(vals, idx):
 
 
 def _gn_bwd(res, dout):
+    from scanobjectnn_tpu.ops.pallas.onehot import _flat_scatter_impl
+
     idx, vals = res
-    dvals = _gather_neighbors_bwd(idx, dout, vals.shape[1], interpret=_interpret())
+    b, m, k = idx.shape
+    dvals = _flat_scatter_impl(
+        idx.reshape(b, m * k),
+        dout.reshape(b, m * k, dout.shape[-1]),
+        vals.shape[1], interpret=_interpret(),
+    )
     return dvals.astype(vals.dtype), None
 
 
@@ -510,9 +376,16 @@ def _egk_fwd(feats, vals, k):
 
 
 def _egk_bwd(k, res, cot):
+    from scanobjectnn_tpu.ops.pallas.onehot import _flat_scatter_impl
+
     feats, vals, idx = res
     dout, _ = cot  # idx is integer output — no cotangent
-    dvals = _gather_neighbors_bwd(idx, dout, vals.shape[1], interpret=_interpret())
+    b, n, kk = idx.shape
+    dvals = _flat_scatter_impl(
+        idx.reshape(b, n * kk),
+        dout.reshape(b, n * kk, dout.shape[-1]),
+        vals.shape[1], interpret=_interpret(),
+    )
     return jnp.zeros_like(feats), dvals.astype(vals.dtype)
 
 

@@ -276,3 +276,70 @@ class TestEdgeGatherKnn:
         gp = jax.grad(lambda v: jnp.sum(jnp.sin(edge_gather_knn(feats, v, 8)[0])))(vals)
         gl = jax.grad(lambda v: jnp.sum(jnp.sin(batched_index_gather(v, want_idx))))(vals)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gl), rtol=1e-5, atol=1e-6)
+
+
+class TestSpiderConvKernel:
+    """The fully-fused spiderConv kernel (ops/pallas/spider_kernel.py) vs the
+    XLA oracle, in interpret mode.  The kernel computes at bf16 operand
+    precision (as XLA's Dense does on TPU) while the oracle runs f32 on CPU,
+    so comparisons are at bf16 tolerance relative to the output scale."""
+
+    def _close(self, got, want, tol=2.5e-2):
+        got, want = np.asarray(got), np.asarray(want)
+        scale = float(np.max(np.abs(want))) + 1e-9
+        np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=tol)
+
+    @pytest.mark.parametrize("shape", [(2, 256, 6, 3, 32), (1, 512, 20, 16, 64)])
+    def test_kernel_matches_lax(self, rng, shape):
+        from scanobjectnn_tpu.ops.pallas.spider_kernel import (
+            spider_conv_lax,
+            spider_conv_pallas,
+        )
+
+        b, n, k, c, o = shape
+        t = 5
+        key = jax.random.PRNGKey(0)
+        feat = _data(rng, b=b, n=n, c=c)
+        idx = jnp.asarray(np.random.RandomState(1).randint(0, n, (b, n, k)), jnp.int32)
+        g = jax.random.normal(jax.random.fold_in(key, 2), (b, n, k, t), jnp.float32)
+        kern = jax.random.normal(jax.random.fold_in(key, 3), (k * c * t, o)) * 0.05
+
+        self._close(spider_conv_pallas(feat, idx, g, kern),
+                    spider_conv_lax(feat, idx, g, kern))
+
+        gp = jax.grad(
+            lambda f, g_, k_: jnp.sum(spider_conv_pallas(f, idx, g_, k_) ** 2),
+            argnums=(0, 1, 2),
+        )(feat, g, kern)
+        gl = jax.grad(
+            lambda f, g_, k_: jnp.sum(spider_conv_lax(f, idx, g_, k_) ** 2),
+            argnums=(0, 1, 2),
+        )(feat, g, kern)
+        for a, b_ in zip(gp, gl):
+            self._close(a, b_)
+
+    def test_module_pallas_path_matches_plain(self, rng, monkeypatch):
+        """Force the Pallas dispatch (interpret mode off-TPU) through the
+        SpiderConv module and compare against the unfused oracle with the
+        SAME param tree."""
+        import scanobjectnn_tpu.ops.fps as fps_mod
+        from scanobjectnn_tpu import ops
+        from scanobjectnn_tpu.models.spidercnn import SpiderConv
+
+        b, n, k, c = 2, 256, 8, 16
+        feat = _data(rng, b=b, n=n, c=c)
+        pts = _data(rng, b=b, n=n, c=3)
+        idx = ops.knn_graph(pts, k)
+        delta = ops.group_point(pts, idx) - pts[:, :, None, :]
+
+        fused = SpiderConv(features_out=32, fused=True)
+        plain = SpiderConv(features_out=32, fused=False)
+        vf = fused.init(jax.random.PRNGKey(0), feat, idx, delta)
+
+        monkeypatch.setattr(fps_mod, "_BACKEND", "pallas")
+        yf = fused.apply(vf, feat, idx, delta)
+        monkeypatch.setattr(fps_mod, "_BACKEND", "lax")
+        yp = plain.apply(vf, feat, idx, delta)
+        got, want = np.asarray(yf), np.asarray(yp)
+        scale = float(np.max(np.abs(want))) + 1e-9
+        np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=2.5e-2)
