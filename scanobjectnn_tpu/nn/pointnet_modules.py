@@ -22,6 +22,7 @@ from flax import linen as nn
 from scanobjectnn_tpu import ops
 from scanobjectnn_tpu.nn.layers import MLP
 from scanobjectnn_tpu.ops.interpolate import three_interpolate_weights
+from scanobjectnn_tpu.ops.pallas.edge_kernel import gather_neighbors
 
 __all__ = [
     "sample_and_group",
@@ -55,7 +56,10 @@ def sample_and_group(
         # Fused ball query + centered grouping (Pallas on TPU for large N).
         grouped_xyz, idx, _ = ops.query_ball_group(radius, nsample, xyz, new_xyz)
     if points is not None:
-        grouped_points = ops.group_point(points, idx)
+        # Batched one-hot MXU gather on TPU (2.7 -> ~0.8 ms at SA2 shapes);
+        # falls back to the XLA row gather elsewhere.  Gradient via the
+        # 2-term bf16 split scatter (the kernels' shared convention).
+        grouped_points = gather_neighbors(points, idx)
         if use_xyz:
             new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
         else:
