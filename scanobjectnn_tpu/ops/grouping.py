@@ -226,7 +226,10 @@ def query_ball_group(
     """
     from scanobjectnn_tpu.ops.fps import _use_pallas
 
-    if _use_pallas() and xyz.shape[1] >= 1024:
+    # Crossover re-measured after the MXU coordinate-extraction rework:
+    # at SA2 shapes (N512 M128 K64) the kernel runs 1.9 ms vs 3.3 ms for
+    # lax query + XLA gather, so the fused path wins from N >= 512.
+    if _use_pallas() and xyz.shape[1] >= 512:
         from scanobjectnn_tpu.ops.pallas.ballquery_kernel import query_ball_group_pallas
 
         return query_ball_group_pallas(radius, nsample, xyz, new_xyz)

@@ -108,11 +108,21 @@ def query_ball_pallas(
 
 
 def _ball_group_kernel(
-    xyz_ref, new_xyz_ref, idx_ref, cnt_ref, gx_ref, gy_ref, gz_ref, *, radius, nsample
+    xyz_ref, new_xyz_ref, split_ref, idx_ref, cnt_ref, gx_ref, gy_ref, gz_ref,
+    *, radius, nsample
 ):
     # Like _ball_kernel, but also emits centered grouped coordinates as three
     # [1, T, K] outputs (a single [T, K, 3] block would pad 3 lanes to 128 —
     # 42x VMEM waste; the host-side stack to [B, M, K, 3] is one cheap copy).
+    #
+    # Coordinate extraction rides the MXU: each round's one-hot selection mask
+    # (needed for the key update anyway) matmuls against the 3-term bf16 split
+    # of the coordinates (split_ref, [N, 16]: x0 y0 z0 x1 y1 z1 x2 y2 z2 pad).
+    # One-hot rows make every f32-accumulated product exact, and the 3-term
+    # split reconstructs the f32 coordinate bit-exactly (the onehot.py
+    # convention) — vs the earlier six masked where+reduce VPU passes per
+    # round, this leaves ~4 VPU passes/round and puts the rest on the idle MXU
+    # (measured ~1.9x at SA1 shapes on v5e).
     x = xyz_ref[0, 0, :][None, :]
     y = xyz_ref[0, 1, :][None, :]
     z = xyz_ref[0, 2, :][None, :]
@@ -127,17 +137,24 @@ def _ball_group_kernel(
     cnt_total = jnp.sum(hit.astype(jnp.int32), axis=1)
     cnt_ref[0, :, 0] = jnp.minimum(cnt_total, nsample).astype(jnp.int32)
 
+    split = split_ref[0]  # [N, 16] bf16
+
     col = jax.lax.broadcasted_iota(jnp.int32, hit.shape, dimension=1)
     big = jnp.int32(n)
     keys = jnp.where(hit, col, big)
     cols, gx, gy, gz = [], [], [], []
     for _ in range(nsample):
-        mk = jnp.min(keys, axis=1)  # [T]
+        mk = jnp.min(keys, axis=1)  # [T]; == n when exhausted
         sel = keys == mk[:, None]  # one lane per row (or none when exhausted)
-        # Coordinates of the selected lane via masked reduces.
-        gx.append(jnp.sum(jnp.where(sel, x, 0.0), axis=1))
-        gy.append(jnp.sum(jnp.where(sel, y, 0.0), axis=1))
-        gz.append(jnp.sum(jnp.where(sel, z, 0.0), axis=1))
+        selb = jnp.where(sel, 1.0, 0.0).astype(jnp.bfloat16)  # exact one-hot
+        ext = jax.lax.dot_general(
+            selb, split,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, 16]
+        gx.append(ext[:, 0] + ext[:, 3] + ext[:, 6])  # exact f32 rebuild
+        gy.append(ext[:, 1] + ext[:, 4] + ext[:, 7])
+        gz.append(ext[:, 2] + ext[:, 5] + ext[:, 8])
         cols.append(mk)
         keys = jnp.where(sel, big, keys)
     idx = jnp.stack(cols, axis=1)  # [T, K]
@@ -181,7 +198,27 @@ def query_ball_group_pallas(
         if m % cand == 0:
             tile = cand
             break
-    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))
+    xyz_f = xyz.astype(jnp.float32)
+    xyz_t = jnp.transpose(xyz_f, (0, 2, 1))
+    # 3-term bf16 split of the coordinates, packed [B, N, 16]
+    # (x0 y0 z0 x1 y1 z1 x2 y2 z2 + 7 zero lanes): the in-kernel one-hot
+    # matmul against this reconstructs f32 coordinates bit-exactly.
+    # MUST round via lax.reduce_precision: under jit XLA's excess-precision
+    # rule folds f32->bf16->f32 convert chains to identity, which silently
+    # zeroes the residual terms (measured: bf16-level 7.6e-3 error).
+    h0 = jax.lax.reduce_precision(xyz_f, 8, 7)
+    r1 = xyz_f - h0
+    h1 = jax.lax.reduce_precision(r1, 8, 7)
+    t2 = (r1 - h1).astype(jnp.bfloat16)
+    split = jnp.concatenate(
+        [
+            h0.astype(jnp.bfloat16),
+            h1.astype(jnp.bfloat16),
+            t2,
+            jnp.zeros((b, n, 7), jnp.bfloat16),
+        ],
+        axis=-1,
+    )
     kernel = functools.partial(_ball_group_kernel, radius=radius, nsample=nsample)
     coord_spec = pl.BlockSpec(
         (1, tile, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
@@ -193,6 +230,7 @@ def query_ball_group_pallas(
         in_specs=[
             pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 16), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, tile, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -205,6 +243,6 @@ def query_ball_group_pallas(
             coord_shape, coord_shape, coord_shape,
         ),
         interpret=interpret,
-    )(xyz_t, new_xyz.astype(jnp.float32))
+    )(xyz_t, new_xyz.astype(jnp.float32), split)
     grouped = jnp.stack([gx, gy, gz], axis=-1)
     return grouped, idx, cnt[..., 0]
