@@ -181,7 +181,7 @@ class SAModuleMSG(nn.Module):
         ):
             grouped_xyz, idx, _ = ops.query_ball_group(radius, nsample, xyz, new_xyz)
             if points is not None:
-                grouped = ops.group_point(points, idx)
+                grouped = gather_neighbors(points, idx)
                 if self.use_xyz:
                     # MSG concatenates [points, xyz] — opposite order to SSG
                     # (ref pointnet_util.py:176-177).

@@ -28,6 +28,7 @@ from flax import linen as nn
 from scanobjectnn_tpu import ops
 from scanobjectnn_tpu.nn.layers import BatchNorm
 from scanobjectnn_tpu.ops.grouping import pairwise_squared_distance
+from scanobjectnn_tpu.ops.pallas.edge_kernel import gather_neighbors
 
 __all__ = ["knn_indices_general", "sort_points", "inverse_density_sample", "EluDense", "XConv"]
 
@@ -259,7 +260,9 @@ class XConv(nn.Module):
         if fts is None:
             nn_fts_input = nn_fts_from_pts
         else:
-            nn_fts_from_prev = ops.group_point(fts, idx)
+            # Batched one-hot MXU gather on TPU for lane-friendly channel
+            # counts / N >= 256 (XLA row gather elsewhere).
+            nn_fts_from_prev = gather_neighbors(fts, idx)
             nn_fts_input = jnp.concatenate([nn_fts_from_pts, nn_fts_from_prev], axis=-1)
 
         if self.with_X_transformation:

@@ -107,22 +107,28 @@ def query_ball_pallas(
     return idx, cnt[..., 0]
 
 
+_RANK_BLOCK = 256  # cumsum block width: values <= 256 are exact in bf16
+
+
 def _ball_group_kernel(
-    xyz_ref, new_xyz_ref, split_ref, idx_ref, cnt_ref, gx_ref, gy_ref, gz_ref,
-    *, radius, nsample
+    xyz_ref, new_xyz_ref, split_ref, tri_ref, idx_ref, cnt_ref,
+    gx_ref, gy_ref, gz_ref, *, radius, nsample
 ):
     # Like _ball_kernel, but also emits centered grouped coordinates as three
     # [1, T, K] outputs (a single [T, K, 3] block would pad 3 lanes to 128 —
     # 42x VMEM waste; the host-side stack to [B, M, K, 3] is one cheap copy).
     #
-    # Coordinate extraction rides the MXU: each round's one-hot selection mask
-    # (needed for the key update anyway) matmuls against the 3-term bf16 split
-    # of the coordinates (split_ref, [N, 16]: x0 y0 z0 x1 y1 z1 x2 y2 z2 pad).
-    # One-hot rows make every f32-accumulated product exact, and the 3-term
-    # split reconstructs the f32 coordinate bit-exactly (the onehot.py
-    # convention) — vs the earlier six masked where+reduce VPU passes per
-    # round, this leaves ~4 VPU passes/round and puts the rest on the idle MXU
-    # (measured ~1.9x at SA1 shapes on v5e).
+    # Selection is RANK-based, not sequential min-extraction: the hit cumsum
+    # (each hit's 1-based position among the row's hits, in original point
+    # order) is computed with block-triangular bf16 matmuls (values <= 256
+    # per block are exact in bf16, block offsets exact in f32), after which
+    # the K slot extractions are INDEPENDENT — slot k's one-hot is just
+    # (rank == k+1) — so there is no serial K-round dependency chain, ~2 VPU
+    # passes per slot, and both the coordinates AND the column index come out
+    # of one one-hot matmul per slot against the packed bf16 split
+    # (split_ref [N, 16]: x0 y0 z0 x1 y1 z1 x2 y2 z2 c0 c1; the 3-term
+    # coordinate split and 2-term column split reconstruct f32 bit-exactly,
+    # the onehot.py convention).
     x = xyz_ref[0, 0, :][None, :]
     y = xyz_ref[0, 1, :][None, :]
     z = xyz_ref[0, 2, :][None, :]
@@ -138,15 +144,30 @@ def _ball_group_kernel(
     cnt_ref[0, :, 0] = jnp.minimum(cnt_total, nsample).astype(jnp.int32)
 
     split = split_ref[0]  # [N, 16] bf16
+    tri = tri_ref[...]  # [W, W] bf16 upper-triangular inclusive
 
-    col = jax.lax.broadcasted_iota(jnp.int32, hit.shape, dimension=1)
-    big = jnp.int32(n)
-    keys = jnp.where(hit, col, big)
-    cols, gx, gy, gz = [], [], [], []
-    for _ in range(nsample):
-        mk = jnp.min(keys, axis=1)  # [T]; == n when exhausted
-        sel = keys == mk[:, None]  # one lane per row (or none when exhausted)
-        selb = jnp.where(sel, 1.0, 0.0).astype(jnp.bfloat16)  # exact one-hot
+    # rank[t, i] = #hits at columns <= i (inclusive cumsum of hit), via one
+    # [T, W] @ [W, W] bf16 matmul per block plus exact f32 block offsets.
+    w = tri.shape[0]
+    hitb = jnp.where(hit, 1.0, 0.0).astype(jnp.bfloat16)
+    blocks = []
+    base = jnp.zeros((q.shape[0], 1), jnp.float32)
+    for j in range(n // w):
+        cj = jax.lax.dot_general(
+            hitb[:, j * w : (j + 1) * w], tri,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, W] inclusive within-block cumsum
+        blocks.append(cj + base)
+        base = base + cj[:, w - 1 : w]
+    rank = jnp.concatenate(blocks, axis=1)  # [T, N] f32, exact ints
+    slot = jnp.where(hit, rank, jnp.float32(0.0))  # 1-based slot per hit
+
+    gx, gy, gz, cols = [], [], [], []
+    for k in range(nsample):
+        selb = jnp.where(slot == jnp.float32(k + 1), 1.0, 0.0).astype(
+            jnp.bfloat16
+        )  # exact one-hot (empty when the row has < k+1 hits)
         ext = jax.lax.dot_general(
             selb, split,
             (((1,), (0,)), ((), ())),
@@ -155,14 +176,14 @@ def _ball_group_kernel(
         gx.append(ext[:, 0] + ext[:, 3] + ext[:, 6])  # exact f32 rebuild
         gy.append(ext[:, 1] + ext[:, 4] + ext[:, 7])
         gz.append(ext[:, 2] + ext[:, 5] + ext[:, 8])
-        cols.append(mk)
-        keys = jnp.where(sel, big, keys)
-    idx = jnp.stack(cols, axis=1)  # [T, K]
+        cols.append(ext[:, 9] + ext[:, 10])
+    idx = jnp.stack(cols, axis=1).astype(jnp.int32)  # [T, K]
     gx_a = jnp.stack(gx, axis=1)  # [T, K]
     gy_a = jnp.stack(gy, axis=1)
     gz_a = jnp.stack(gz, axis=1)
 
-    valid = idx < n  # [T, K]
+    krange = jax.lax.broadcasted_iota(jnp.int32, idx.shape, dimension=1)
+    valid = krange < cnt_total[:, None]  # [T, K]
     first_hit = jnp.where(cnt_total > 0, idx[:, 0], 0)
     idx_ref[0, :, :] = jnp.where(valid, idx, first_hit[:, None]).astype(jnp.int32)
 
@@ -200,9 +221,10 @@ def query_ball_group_pallas(
             break
     xyz_f = xyz.astype(jnp.float32)
     xyz_t = jnp.transpose(xyz_f, (0, 2, 1))
-    # 3-term bf16 split of the coordinates, packed [B, N, 16]
-    # (x0 y0 z0 x1 y1 z1 x2 y2 z2 + 7 zero lanes): the in-kernel one-hot
-    # matmul against this reconstructs f32 coordinates bit-exactly.
+    # 3-term bf16 split of the coordinates + 2-term split of the column
+    # index, packed [B, N, 16] (x0 y0 z0 x1 y1 z1 x2 y2 z2 c0 c1 + 5 zero
+    # lanes): the in-kernel one-hot matmuls against this reconstruct the f32
+    # coordinates and the integer column bit-exactly.
     # MUST round via lax.reduce_precision: under jit XLA's excess-precision
     # rule folds f32->bf16->f32 convert chains to identity, which silently
     # zeroes the residual terms (measured: bf16-level 7.6e-3 error).
@@ -210,15 +232,28 @@ def query_ball_group_pallas(
     r1 = xyz_f - h0
     h1 = jax.lax.reduce_precision(r1, 8, 7)
     t2 = (r1 - h1).astype(jnp.bfloat16)
+    colf = jnp.arange(n, dtype=jnp.float32)[None, :, None]  # [1, N, 1]
+    c0 = jax.lax.reduce_precision(colf, 8, 7)
+    c1 = colf - c0  # integer <= 2^11: 2-term split exact
+    cols2 = jnp.broadcast_to(
+        jnp.concatenate([c0, c1], axis=-1), (b, n, 2)
+    ).astype(jnp.bfloat16)
     split = jnp.concatenate(
         [
             h0.astype(jnp.bfloat16),
             h1.astype(jnp.bfloat16),
             t2,
-            jnp.zeros((b, n, 7), jnp.bfloat16),
+            cols2,
+            jnp.zeros((b, n, 5), jnp.bfloat16),
         ],
         axis=-1,
     )
+    # Upper-triangular-inclusive cumsum matrix for the rank matmuls.
+    w = next(c for c in (256, 128, 64, 32, 16, 8, 4, 2, 1) if n % c == 0)
+    tri = (
+        jnp.arange(w, dtype=jnp.int32)[:, None]
+        <= jnp.arange(w, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)
     kernel = functools.partial(_ball_group_kernel, radius=radius, nsample=nsample)
     coord_spec = pl.BlockSpec(
         (1, tile, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
@@ -231,6 +266,7 @@ def query_ball_group_pallas(
             pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, 16), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, tile, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -242,7 +278,11 @@ def query_ball_group_pallas(
             jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
             coord_shape, coord_shape, coord_shape,
         ),
+        # The K independent slot one-hots tempt Mosaic's scheduler into
+        # keeping many [T, N] bf16 buffers live at once; give it room beyond
+        # the 16 MB default scoped limit (v5e VMEM is 128 MB).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(xyz_t, new_xyz.astype(jnp.float32), split)
+    )(xyz_t, new_xyz.astype(jnp.float32), split, tri)
     grouped = jnp.stack([gx, gy, gz], axis=-1)
     return grouped, idx, cnt[..., 0]
