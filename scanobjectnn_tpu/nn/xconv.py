@@ -39,15 +39,21 @@ glorot_normal = nn.initializers.glorot_normal()
 _PCNN_BN_MOMENTUM = 0.99
 
 
-def _mask_duplicate_points(d2: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
-    """Add max(D) to distance columns of duplicated points so unique points
-    win the top-k (pointfly.py:131-146 does this via a numpy py_func; here a
-    strictly-lower-triangular exact-equality test does it in-graph)."""
+def _duplicate_mask(points: jnp.ndarray) -> jnp.ndarray:
+    """[B, N] bool: point j is an exact duplicate of some earlier point i<j
+    (pointfly.py:131-146 does this via a numpy py_func; here a strictly-
+    lower-triangular exact-equality test does it in-graph)."""
     n = points.shape[1]
     eq = jnp.all(points[:, :, None, :] == points[:, None, :, :], axis=-1)  # [B,N,N]
     earlier = jnp.tril(jnp.ones((n, n), bool), k=-1)  # earlier[i,j]: i<j? need i<j → use upper? tril(k=-1)[i,j]=1 iff i>j
     # dup[j] = any_{i<j} eq[i,j]  → mask rows i<j: use transpose of tril.
-    dup = jnp.any(eq & earlier.T[None], axis=1)  # [B, N]
+    return jnp.any(eq & earlier.T[None], axis=1)  # [B, N]
+
+
+def _mask_duplicate_points(d2: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Add max(D) to distance columns of duplicated points so unique points
+    win the top-k."""
+    dup = _duplicate_mask(points)
     return d2 + jnp.max(d2) * dup[:, None, :].astype(d2.dtype)
 
 
@@ -55,7 +61,39 @@ def knn_indices_general(
     queries: jnp.ndarray, points: jnp.ndarray, k: int, unique: bool = True
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest points per query with optional duplicate-point suppression
-    (pointfly.py:163-177).  Returns (dist[B,P,K], idx[B,P,K])."""
+    (pointfly.py:163-177).  Returns (dist[B,P,K], idx[B,P,K]).
+
+    On TPU this dispatches to the blocked Pallas kNN kernel with the
+    duplicate mask as a per-key distance bias (lax.top_k over the [B,P,N]
+    matrix is the dominant PointCNN cost otherwise — 10.8 ms at B32 N1024
+    k8 on v5e vs ~1 ms blocked).  Selected indices and ordering are
+    identical to the lax path (the bias constant only needs to exceed the
+    global max d², which any norm bound gives); the returned distances of
+    *suppressed duplicate* slots differ between backends — only idx is
+    consumed on the XConv path (and slot 0, the query itself, is never a
+    suppressed dup)."""
+    from scanobjectnn_tpu.ops.fps import _use_pallas
+
+    if (
+        _use_pallas()
+        and queries.shape[1] % 8 == 0
+        # measured crossover: below ~256k distance entries the lax top_k
+        # path is already as fast (L3/L4 of the PointCNN pyramid)
+        and queries.shape[1] * points.shape[1] >= 256 * 1024
+        and k <= 64
+    ):
+        from scanobjectnn_tpu.ops.pallas.knn_kernel import knn_point_pallas
+
+        bias = None
+        if unique:
+            big = (
+                4.0 * jnp.max(jnp.sum(queries * queries, axis=-1))
+                + 4.0 * jnp.max(jnp.sum(points * points, axis=-1))
+                + 1.0
+            )  # > max d2 = max (|q|+|p|)^2
+            bias = _duplicate_mask(points).astype(jnp.float32) * big
+        return knn_point_pallas(queries, points, k, bias=bias)
+
     d2 = pairwise_squared_distance(queries, points)
     if unique:
         d2 = _mask_duplicate_points(d2, points)

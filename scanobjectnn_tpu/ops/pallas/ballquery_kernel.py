@@ -112,7 +112,8 @@ _RANK_BLOCK = 256  # cumsum block width: values <= 256 are exact in bf16
 
 def _ball_group_kernel(
     xyz_ref, new_xyz_ref, split_ref, tri_ref, idx_ref, cnt_ref,
-    gx_ref, gy_ref, gz_ref, *, radius, nsample
+    gx_ref, gy_ref, gz_ref, gxs_ref, gys_ref, gzs_ref, cs_ref,
+    *, radius, nsample
 ):
     # Like _ball_kernel, but also emits centered grouped coordinates as three
     # [1, T, K] outputs (a single [T, K, 3] block would pad 3 lanes to 128 —
@@ -163,24 +164,51 @@ def _ball_group_kernel(
     rank = jnp.concatenate(blocks, axis=1)  # [T, N] f32, exact ints
     slot = jnp.where(hit, rank, jnp.float32(0.0))  # 1-based slot per hit
 
-    gx, gy, gz, cols = [], [], [], []
-    for k in range(nsample):
-        selb = jnp.where(slot == jnp.float32(k + 1), 1.0, 0.0).astype(
-            jnp.bfloat16
-        )  # exact one-hot (empty when the row has < k+1 hits)
-        ext = jax.lax.dot_general(
-            selb, split,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, 16]
-        gx.append(ext[:, 0] + ext[:, 3] + ext[:, 6])  # exact f32 rebuild
-        gy.append(ext[:, 1] + ext[:, 4] + ext[:, 7])
-        gz.append(ext[:, 2] + ext[:, 5] + ext[:, 8])
-        cols.append(ext[:, 9] + ext[:, 10])
-    idx = jnp.stack(cols, axis=1).astype(jnp.int32)  # [T, K]
-    gx_a = jnp.stack(gx, axis=1)  # [T, K]
-    gy_a = jnp.stack(gy, axis=1)
-    gz_a = jnp.stack(gz, axis=1)
+    # Slot loop: fori_loop over 8-slot chunks (full unrolling of K slots
+    # inflates Mosaic compile time badly — a K=64 instance pushed the
+    # whole-epoch train program to ~10 min first compile).  Results land
+    # TRANSPOSED ([K, T] scratch, one sublane row per slot — dynamic stores
+    # are legal at sublane granularity) and transpose back at the end.
+    # Chunked unrolling balances Mosaic compile time (full K-unroll of a
+    # K=64 instance pushed the whole-epoch program to ~10 min first compile)
+    # against ILP (chunk 8 cost 13-36% runtime; 16 is within ~8%, and 32
+    # measured no better).
+    chunk = min(16, gxs_ref.shape[0])
+
+    def slot_chunk(j, _):
+        base_k = j * chunk
+        exts = []
+        for u in range(chunk):
+            kf = (base_k + (u + 1)).astype(jnp.float32)
+            selb = jnp.where(slot == kf, 1.0, 0.0).astype(
+                jnp.bfloat16
+            )  # exact one-hot (empty when the row has < k+1 hits)
+            exts.append(
+                jax.lax.dot_general(
+                    selb, split,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [T, 16]
+            )
+        rows = pl.ds(base_k, chunk)
+        gxs_ref[rows, :] = jnp.stack(
+            [e[:, 0] + e[:, 3] + e[:, 6] for e in exts], axis=0
+        )
+        gys_ref[rows, :] = jnp.stack(
+            [e[:, 1] + e[:, 4] + e[:, 7] for e in exts], axis=0
+        )
+        gzs_ref[rows, :] = jnp.stack(
+            [e[:, 2] + e[:, 5] + e[:, 8] for e in exts], axis=0
+        )
+        cs_ref[rows, :] = jnp.stack([e[:, 9] + e[:, 10] for e in exts], axis=0)
+        return 0
+
+    k_pad = gxs_ref.shape[0]
+    jax.lax.fori_loop(0, k_pad // chunk, slot_chunk, 0)
+    idx = cs_ref[:, :].T[:, :nsample].astype(jnp.int32)  # [T, K]
+    gx_a = gxs_ref[:, :].T[:, :nsample]  # [T, K]
+    gy_a = gys_ref[:, :].T[:, :nsample]
+    gz_a = gzs_ref[:, :].T[:, :nsample]
 
     krange = jax.lax.broadcasted_iota(jnp.int32, idx.shape, dimension=1)
     valid = krange < cnt_total[:, None]  # [T, K]
@@ -278,9 +306,15 @@ def query_ball_group_pallas(
             jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
             coord_shape, coord_shape, coord_shape,
         ),
-        # The K independent slot one-hots tempt Mosaic's scheduler into
-        # keeping many [T, N] bf16 buffers live at once; give it room beyond
-        # the 16 MB default scoped limit (v5e VMEM is 128 MB).
+        scratch_shapes=[
+            pltpu.VMEM((-(-nsample // 16) * 16, tile), jnp.float32),  # gx [K,T]
+            pltpu.VMEM((-(-nsample // 16) * 16, tile), jnp.float32),  # gy
+            pltpu.VMEM((-(-nsample // 16) * 16, tile), jnp.float32),  # gz
+            pltpu.VMEM((-(-nsample // 16) * 16, tile), jnp.float32),  # col
+        ],
+        # The independent slot one-hots tempt Mosaic's scheduler into
+        # keeping several [T, N] bf16 buffers live at once; give it room
+        # beyond the 16 MB default scoped limit (v5e VMEM is 128 MB).
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xyz_t, new_xyz.astype(jnp.float32), split, tri)

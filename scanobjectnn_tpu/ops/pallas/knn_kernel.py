@@ -82,8 +82,9 @@ def knn_graph_pallas(
     return lax.stop_gradient(idx)
 
 
-def _knn_general_kernel(q_ref, keys_ref, dist_ref, idx_ref, *, k: int):
-    # q_ref: [1, T, C] query tile; keys_ref: [1, N, C]; outputs [1, T, k].
+def _knn_general_kernel(q_ref, keys_ref, bias_ref, dist_ref, idx_ref, *, k: int):
+    # q_ref: [1, T, C] query tile; keys_ref: [1, N, C]; bias_ref: [1, 1, N]
+    # per-key additive distance bias (duplicate suppression); outputs [1, T, k].
     q = q_ref[0]  # [T, C]
     keys = keys_ref[0]  # [N, C]
     qq = jnp.sum(q * q, axis=1, keepdims=True)
@@ -95,6 +96,7 @@ def _knn_general_kernel(q_ref, keys_ref, dist_ref, idx_ref, *, k: int):
         precision=jax.lax.Precision.HIGHEST,
     )
     d2 = jnp.maximum(qq - 2.0 * inner + kk, 0.0)  # match lax path's clamp
+    d2 = d2 + bias_ref[0]  # [1, N] broadcasts over the tile
 
     col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
     idx_cols, dist_cols = [], []
@@ -109,10 +111,20 @@ def _knn_general_kernel(q_ref, keys_ref, dist_ref, idx_ref, *, k: int):
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def knn_point_pallas(
-    queries: jnp.ndarray, keys: jnp.ndarray, k: int, interpret: bool = False
+    queries: jnp.ndarray,
+    keys: jnp.ndarray,
+    k: int,
+    interpret: bool = False,
+    bias: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """General kNN: ([B,M,C] queries, [B,N,C] keys) -> (d²[B,M,k], idx[B,M,k]),
-    ascending squared distances — the knn_point / three_nn contract."""
+    ascending squared distances — the knn_point / three_nn contract.
+
+    ``bias`` ([B, N], optional) is added to every query's distance row —
+    PointCNN's duplicate-point suppression (pointfly.py:131-146) passes
+    BIG·dup here; returned distances include the bias, matching the lax
+    formulation in nn/xconv.knn_indices_general.
+    """
     b, m, c = queries.shape
     n = keys.shape[1]
     tile = m
@@ -120,6 +132,8 @@ def knn_point_pallas(
         if m % cand == 0:
             tile = cand
             break
+    if bias is None:
+        bias = jnp.zeros((b, n), jnp.float32)
     kernel = functools.partial(_knn_general_kernel, k=k)
     out_spec = pl.BlockSpec((1, tile, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     dist, idx = pl.pallas_call(
@@ -128,6 +142,7 @@ def knn_point_pallas(
         in_specs=[
             pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec, out_spec),
         out_shape=(
@@ -135,5 +150,9 @@ def knn_point_pallas(
             jax.ShapeDtypeStruct((b, m, k), jnp.int32),
         ),
         interpret=interpret,
-    )(queries.astype(jnp.float32), keys.astype(jnp.float32))
+    )(
+        queries.astype(jnp.float32),
+        keys.astype(jnp.float32),
+        bias.astype(jnp.float32)[:, None, :],
+    )
     return dist, idx
