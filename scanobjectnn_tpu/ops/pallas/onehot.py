@@ -168,6 +168,10 @@ def _flat_gather_impl(vals, idxf, exact: bool, interpret: bool):
         out_shape=jax.ShapeDtypeStruct(
             (b, m, c_pad), jnp.float32 if exact else jnp.bfloat16
         ),
+        # Headroom above the 16 MB default scoped limit: _row_tile's budget
+        # model undercounts Mosaic's stack by a hair at wide-C shapes (the
+        # MSG SA2 gather tripped the limit by 8 KB); v5e VMEM is 128 MB.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(valsp, idxf.astype(jnp.int32).reshape(b, m, 1))
     return out[..., :c] if c_pad != c else out
@@ -187,6 +191,7 @@ def _flat_scatter_impl(idxf, upd, n: int, interpret: bool):
         ],
         out_specs=pl.BlockSpec((1, n, c_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(idxf.astype(jnp.int32).reshape(b, m, 1), updp)
     return out[..., :c] if c_pad != c else out
