@@ -61,8 +61,8 @@ def _fps_kernel(xyz_ref, idx_ref, mind_ref, idx_t_ref, *, npoint: int):
 
     col3 = jax.lax.broadcasted_iota(jnp.int32, (3 * b, n), dimension=1)
 
-    def body(j, carry):
-        p0 = carry  # [3B, 1] coords of the last selected point
+    def step(j, p0):
+        # One selection: update min-dist with the last point, argmax, extract.
         dd = (p3 - p0) ** 2  # [3B, N]
         d = dd[:b] + dd[b : 2 * b] + dd[2 * b :]
         mind = jnp.minimum(mind_ref[:, :], d)
@@ -73,8 +73,17 @@ def _fps_kernel(xyz_ref, idx_ref, mind_ref, idx_t_ref, *, npoint: int):
         sel = col3 == best3[:, None]
         return jnp.sum(jnp.where(sel, p3, 0.0), axis=1, keepdims=True)
 
-    # Seed: point 0 of every cloud.
-    lax.fori_loop(1, npoint, body, p3[:, 0:1])
+    # Seed: point 0 of every cloud.  Two selections per loop iteration
+    # (npoint is even in every SA config): the rounds are strictly
+    # dependent, but halving the fori_loop trips shaves loop overhead off
+    # the latency-bound chain.
+    if npoint % 2 == 0:
+        def body2(i, p0):
+            return step(2 * i + 3, step(2 * i + 2, p0))
+
+        lax.fori_loop(0, (npoint - 2) // 2, body2, step(1, p3[:, 0:1]))
+    else:
+        lax.fori_loop(1, npoint, step, p3[:, 0:1])
     idx_ref[:, :] = idx_t_ref[:, :].T
 
 
