@@ -82,7 +82,10 @@ def knn_indices_general(
         and queries.shape[1] * points.shape[1] >= 256 * 1024
         and k <= 64
     ):
-        from scanobjectnn_tpu.ops.pallas.knn_kernel import knn_point_pallas
+        from scanobjectnn_tpu.ops.pallas.knn_kernel import (
+            duplicate_mask_pallas,
+            knn_point_pallas,
+        )
 
         bias = None
         if unique:
@@ -91,7 +94,7 @@ def knn_indices_general(
                 + 4.0 * jnp.max(jnp.sum(points * points, axis=-1))
                 + 1.0
             )  # > max d2 = max (|q|+|p|)^2
-            bias = _duplicate_mask(points).astype(jnp.float32) * big
+            bias = duplicate_mask_pallas(points) * big
         return knn_point_pallas(queries, points, k, bias=bias)
 
     d2 = pairwise_squared_distance(queries, points)

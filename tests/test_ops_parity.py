@@ -274,3 +274,32 @@ class TestKNNPallas:
         d2, i2 = knn_point_pallas(q, keys, 5, interpret=True)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+    def test_duplicate_mask_matches(self, rng):
+        from scanobjectnn_tpu.ops.pallas.knn_kernel import duplicate_mask_pallas
+        from scanobjectnn_tpu.nn.xconv import _duplicate_mask
+
+        pts = _cloud(rng, b=2, n=128)
+        pts[0, 40:50] = pts[0, 10:20]  # exact duplicates of earlier points
+        pts[1, 100] = pts[1, 0]
+        ptsj = jnp.asarray(pts)
+        want = np.asarray(_duplicate_mask(ptsj)).astype(np.float32)
+        got = np.asarray(duplicate_mask_pallas(ptsj, interpret=True))
+        np.testing.assert_array_equal(want, got)
+
+    def test_knn_dup_bias_selects_unique(self, rng):
+        from scanobjectnn_tpu.ops.pallas.knn_kernel import (
+            duplicate_mask_pallas,
+            knn_point_pallas,
+        )
+
+        pts = _cloud(rng, b=1, n=64)
+        pts[0, 33] = pts[0, 3]  # duplicate should lose the top-k
+        ptsj = jnp.asarray(pts)
+        big = 8.0 * float(jnp.max(jnp.sum(ptsj * ptsj, -1))) + 1.0
+        bias = duplicate_mask_pallas(ptsj, interpret=True) * big
+        _, idx = knn_point_pallas(ptsj, ptsj, 40, interpret=True, bias=bias)
+        flat = np.asarray(idx)[0]
+        # 63 unique points: index 33 may only ever appear in the LAST slot
+        # of a row (all unique candidates exhausted first).
+        assert not (flat[:, :-1] == 33).any()
