@@ -164,51 +164,61 @@ def _ball_group_kernel(
     rank = jnp.concatenate(blocks, axis=1)  # [T, N] f32, exact ints
     slot = jnp.where(hit, rank, jnp.float32(0.0))  # 1-based slot per hit
 
-    # Slot loop: fori_loop over 8-slot chunks (full unrolling of K slots
-    # inflates Mosaic compile time badly — a K=64 instance pushed the
-    # whole-epoch train program to ~10 min first compile).  Results land
-    # TRANSPOSED ([K, T] scratch, one sublane row per slot — dynamic stores
-    # are legal at sublane granularity) and transpose back at the end.
-    # Chunked unrolling balances Mosaic compile time (full K-unroll of a
-    # K=64 instance pushed the whole-epoch program to ~10 min first compile)
-    # against ILP (chunk 8 cost 13-36% runtime; 16 is within ~8%, and 32
-    # measured no better).
-    chunk = min(16, gxs_ref.shape[0])
+    # Slot loop.  K <= 32 fully unrolls with direct stacking — best ILP,
+    # tolerable compile (SA1 runs 2.74 vs 2.94 ms chunked).  Larger K uses
+    # a fori_loop over 16-slot unrolled chunks (a fully-unrolled K=64
+    # instance pushed the whole-epoch train program to ~10 min first
+    # compile; chunk 8 cost 13-36% runtime, 16 is within ~8%, 32 measured
+    # no better).  Chunk results land TRANSPOSED ([K, T] scratch, one
+    # sublane row per slot — dynamic stores are legal at sublane
+    # granularity) and transpose back at the end.
+    def slot_ext(kf):
+        selb = jnp.where(slot == kf, 1.0, 0.0).astype(
+            jnp.bfloat16
+        )  # exact one-hot (empty when the row has < k+1 hits)
+        return jax.lax.dot_general(
+            selb, split,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, 16]
 
-    def slot_chunk(j, _):
-        base_k = j * chunk
-        exts = []
-        for u in range(chunk):
-            kf = (base_k + (u + 1)).astype(jnp.float32)
-            selb = jnp.where(slot == kf, 1.0, 0.0).astype(
-                jnp.bfloat16
-            )  # exact one-hot (empty when the row has < k+1 hits)
-            exts.append(
-                jax.lax.dot_general(
-                    selb, split,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [T, 16]
+    if nsample <= 32:
+        exts = [slot_ext(jnp.float32(k + 1)) for k in range(nsample)]
+        gx_a = jnp.stack([e[:, 0] + e[:, 3] + e[:, 6] for e in exts], axis=1)
+        gy_a = jnp.stack([e[:, 1] + e[:, 4] + e[:, 7] for e in exts], axis=1)
+        gz_a = jnp.stack([e[:, 2] + e[:, 5] + e[:, 8] for e in exts], axis=1)
+        idx = jnp.stack(
+            [e[:, 9] + e[:, 10] for e in exts], axis=1
+        ).astype(jnp.int32)  # [T, K]
+    else:
+        chunk = 16
+
+        def slot_chunk(j, _):
+            base_k = j * chunk
+            exts = [
+                slot_ext((base_k + (u + 1)).astype(jnp.float32))
+                for u in range(chunk)
+            ]
+            rows = pl.ds(base_k, chunk)
+            gxs_ref[rows, :] = jnp.stack(
+                [e[:, 0] + e[:, 3] + e[:, 6] for e in exts], axis=0
             )
-        rows = pl.ds(base_k, chunk)
-        gxs_ref[rows, :] = jnp.stack(
-            [e[:, 0] + e[:, 3] + e[:, 6] for e in exts], axis=0
-        )
-        gys_ref[rows, :] = jnp.stack(
-            [e[:, 1] + e[:, 4] + e[:, 7] for e in exts], axis=0
-        )
-        gzs_ref[rows, :] = jnp.stack(
-            [e[:, 2] + e[:, 5] + e[:, 8] for e in exts], axis=0
-        )
-        cs_ref[rows, :] = jnp.stack([e[:, 9] + e[:, 10] for e in exts], axis=0)
-        return 0
+            gys_ref[rows, :] = jnp.stack(
+                [e[:, 1] + e[:, 4] + e[:, 7] for e in exts], axis=0
+            )
+            gzs_ref[rows, :] = jnp.stack(
+                [e[:, 2] + e[:, 5] + e[:, 8] for e in exts], axis=0
+            )
+            cs_ref[rows, :] = jnp.stack(
+                [e[:, 9] + e[:, 10] for e in exts], axis=0
+            )
+            return 0
 
-    k_pad = gxs_ref.shape[0]
-    jax.lax.fori_loop(0, k_pad // chunk, slot_chunk, 0)
-    idx = cs_ref[:, :].T[:, :nsample].astype(jnp.int32)  # [T, K]
-    gx_a = gxs_ref[:, :].T[:, :nsample]  # [T, K]
-    gy_a = gys_ref[:, :].T[:, :nsample]
-    gz_a = gzs_ref[:, :].T[:, :nsample]
+        jax.lax.fori_loop(0, gxs_ref.shape[0] // chunk, slot_chunk, 0)
+        idx = cs_ref[:, :].T[:, :nsample].astype(jnp.int32)  # [T, K]
+        gx_a = gxs_ref[:, :].T[:, :nsample]  # [T, K]
+        gy_a = gys_ref[:, :].T[:, :nsample]
+        gz_a = gzs_ref[:, :].T[:, :nsample]
 
     krange = jax.lax.broadcasted_iota(jnp.int32, idx.shape, dimension=1)
     valid = krange < cnt_total[:, None]  # [T, K]

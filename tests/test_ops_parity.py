@@ -246,6 +246,26 @@ class TestBallQueryPallas:
         )
         np.testing.assert_allclose(np.asarray(grouped), want_grouped, atol=1e-6)
 
+    def test_fused_group_matches_large_nsample(self, rng):
+        # nsample > 32 exercises the chunked fori_loop slot path (the
+        # unrolled branch covers K <= 32).
+        from scanobjectnn_tpu.ops.pallas.ballquery_kernel import query_ball_group_pallas
+        from scanobjectnn_tpu import ops
+
+        xyz = _cloud(rng, b=2, n=96)
+        centers = xyz[:, :16]
+        want_idx, want_cnt = golden.query_ball_golden(0.8, 48, xyz, centers)
+        grouped, idx, cnt = query_ball_group_pallas(
+            0.8, 48, jnp.asarray(xyz), jnp.asarray(centers), interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+        np.testing.assert_array_equal(np.asarray(cnt), want_cnt)
+        want_grouped = (
+            np.asarray(ops.group_point(jnp.asarray(xyz), jnp.asarray(want_idx)))
+            - centers[:, :, None, :]
+        )
+        np.testing.assert_allclose(np.asarray(grouped), want_grouped, atol=1e-6)
+
 
 class TestKNNPallas:
     def test_matches_lax(self, rng):
