@@ -43,47 +43,48 @@ def _fps_kernel(xyz_ref, idx_ref, mind_ref, idx_t_ref, *, npoint: int):
     # to a dynamic lane offset of idx_ref would need 128-alignment.  One
     # transpose at the end restores [B, npoint].
     #
-    # The three coordinate planes process STACKED as one [3B, N] array: the
-    # per-step squared-difference and the selected-point extraction each run
-    # as a single wide op instead of three (masked coordinate sums collapse
-    # from six passes to two).  NOTE measured wall time is unchanged (1.44 ms
-    # at B32 2048→512) — the 511 dependent rounds are bound by the
-    # argmax-reduce + loop-step latency, not by these passes; kept for the
-    # smaller op count.
+    # NOTE a [3B, N] plane-stacked variant (fewer, wider passes) measured
+    # identical wall time — the 511 dependent rounds are bound by the
+    # argmax-reduce + loop-step latency, not by pass count — and its
+    # sublane concats hit Mosaic lowering gaps at B >= 43 (1-D concat
+    # "outside the first tile"; bool-vector sublane concat bitcast_vreg).
+    # Per-plane extraction is the robust form.
     x = xyz_ref[:, 0, :]
     y = xyz_ref[:, 1, :]
     z = xyz_ref[:, 2, :]
     b, n = x.shape
-    p3 = jnp.concatenate([x, y, z], axis=0)  # [3B, N]
 
     mind_ref[:, :] = jnp.full((b, n), 1e38, jnp.float32)
     idx_t_ref[0, :] = jnp.zeros((b,), jnp.int32)
 
-    col3 = jax.lax.broadcasted_iota(jnp.int32, (3 * b, n), dimension=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, n), dimension=1)
 
-    def step(j, p0):
+    def step(j, carry):
         # One selection: update min-dist with the last point, argmax, extract.
-        dd = (p3 - p0) ** 2  # [3B, N]
-        d = dd[:b] + dd[b : 2 * b] + dd[2 * b :]
+        x0, y0, z0 = carry  # [B, 1] coords of the last selected point
+        d = (x - x0) ** 2 + (y - y0) ** 2 + (z - z0) ** 2
         mind = jnp.minimum(mind_ref[:, :], d)
         mind_ref[:, :] = mind
         best = jnp.argmax(mind, axis=1).astype(jnp.int32)  # [B]
         idx_t_ref[pl.ds(j, 1), :] = best[None, :]
-        best3 = jnp.concatenate([best, best, best], axis=0)  # [3B]
-        sel = col3 == best3[:, None]
-        return jnp.sum(jnp.where(sel, p3, 0.0), axis=1, keepdims=True)
+        onehot = (col == best[:, None]).astype(jnp.float32)
+        nx = jnp.sum(x * onehot, axis=1, keepdims=True)
+        ny = jnp.sum(y * onehot, axis=1, keepdims=True)
+        nz = jnp.sum(z * onehot, axis=1, keepdims=True)
+        return (nx, ny, nz)
 
     # Seed: point 0 of every cloud.  Two selections per loop iteration
     # (npoint is even in every SA config): the rounds are strictly
     # dependent, but halving the fori_loop trips shaves loop overhead off
-    # the latency-bound chain.
+    # the latency-bound chain (1.44 -> 1.38 ms at B32 2048→512).
+    init = (x[:, 0:1], y[:, 0:1], z[:, 0:1])
     if npoint % 2 == 0:
-        def body2(i, p0):
-            return step(2 * i + 3, step(2 * i + 2, p0))
+        def body2(i, carry):
+            return step(2 * i + 3, step(2 * i + 2, carry))
 
-        lax.fori_loop(0, (npoint - 2) // 2, body2, step(1, p3[:, 0:1]))
+        lax.fori_loop(0, (npoint - 2) // 2, body2, step(1, init))
     else:
-        lax.fori_loop(1, npoint, step, p3[:, 0:1])
+        lax.fori_loop(1, npoint, step, init)
     idx_ref[:, :] = idx_t_ref[:, :].T
 
 
