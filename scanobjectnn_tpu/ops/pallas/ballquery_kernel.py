@@ -15,9 +15,12 @@ CUDA kernel) rather than the |a|²−2ab+|b|² expansion — self-hits are exact
 
 ``query_ball_group_pallas`` additionally emits the CENTERED grouped
 coordinates (the ``group_point(xyz, idx) − new_xyz`` the SA module needs,
-pointnet_util.py:44-47) from the same min-extraction rounds — each selected
-lane's coordinates drop out of three extra masked reduces per round, removing
-the separate XLA gather (~4.7 ms at SA1 shapes) entirely.
+pointnet_util.py:44-47), removing the separate XLA gather (~4.7 ms at SA1
+shapes) entirely.  Its selection is RANK-based: a block-triangular bf16
+cumsum assigns each in-radius point its 1-based slot, and every slot's
+coordinates + column index come out of one one-hot MXU matmul — no serial
+K-round min-extraction chain (see _ball_group_kernel; the plain
+``query_ball_pallas`` keeps the simpler min-extraction rounds).
 """
 
 from __future__ import annotations
@@ -105,9 +108,6 @@ def query_ball_pallas(
         interpret=interpret,
     )(xyz_t, new_xyz.astype(jnp.float32))
     return idx, cnt[..., 0]
-
-
-_RANK_BLOCK = 256  # cumsum block width: values <= 256 are exact in bf16
 
 
 def _ball_group_kernel(
