@@ -66,12 +66,18 @@ def knn_indices_general(
     On TPU this dispatches to the blocked Pallas kNN kernel with the
     duplicate mask as a per-key distance bias (lax.top_k over the [B,P,N]
     matrix is the dominant PointCNN cost otherwise — 10.8 ms at B32 N1024
-    k8 on v5e vs ~1 ms blocked).  Selected indices and ordering are
-    identical to the lax path (the bias constant only needs to exceed the
-    global max d², which any norm bound gives); the returned distances of
-    *suppressed duplicate* slots differ between backends — only idx is
-    consumed on the XConv path (and slot 0, the query itself, is never a
-    suppressed dup)."""
+    k8 on v5e vs ~1 ms blocked).  Selected indices and ordering match the
+    lax path (the bias constant only needs to exceed the global max d²,
+    which any norm bound gives) EXCEPT when suppressed duplicates
+    themselves reach the top-k (fewer than k unique points): there the two
+    backends add different large constants to nearby d² values and may
+    order the duplicate slots differently.  The returned distances of
+    suppressed-duplicate slots likewise differ between backends.  Only idx
+    is consumed on the XConv path, and slot 0 — the query itself — is
+    never a suppressed dup.  Like the other Pallas dispatchers this path
+    is NOT differentiable (pallas_call has no autodiff rule); inputs and
+    outputs are stop_gradient'ed to keep behavior backend-independent —
+    use the lax path for exotic uses needing distance gradients."""
     from scanobjectnn_tpu.ops.fps import _use_pallas
 
     if (
@@ -87,15 +93,17 @@ def knn_indices_general(
             knn_point_pallas,
         )
 
+        queries_sg = jax.lax.stop_gradient(queries)
+        points_sg = jax.lax.stop_gradient(points)
         bias = None
         if unique:
             big = (
-                4.0 * jnp.max(jnp.sum(queries * queries, axis=-1))
-                + 4.0 * jnp.max(jnp.sum(points * points, axis=-1))
+                4.0 * jnp.max(jnp.sum(queries_sg * queries_sg, axis=-1))
+                + 4.0 * jnp.max(jnp.sum(points_sg * points_sg, axis=-1))
                 + 1.0
             )  # > max d2 = max (|q|+|p|)^2
-            bias = duplicate_mask_pallas(points) * big
-        return knn_point_pallas(queries, points, k, bias=bias)
+            bias = duplicate_mask_pallas(points_sg) * big
+        return knn_point_pallas(queries_sg, points_sg, k, bias=bias)
 
     d2 = pairwise_squared_distance(queries, points)
     if unique:

@@ -254,20 +254,24 @@ def gather_neighbors_pallas(vals, idx):
     """MXU row gather: [B, N, Cv], int32 [B, M, k] -> [B, M, k, Cv].
 
     ALL (point, slot) rows of a tile batch into ONE one-hot matmul
-    (onehot.flat_gather, 3-term bf16 split = exact f32 values): on v5e this
-    runs the neighbor gather at MXU throughput instead of XLA's
-    row-rate-limited gather (~30 GB/s effective) or the earlier
-    latency-bound per-slot rounds.  Differentiable in ``vals``
-    (VJP = one batched transposed one-hot scatter-add).
+    (onehot.flat_gather): on v5e this runs the neighbor gather at MXU
+    throughput instead of XLA's row-rate-limited gather (~30 GB/s
+    effective) or the earlier latency-bound per-slot rounds.  f32 inputs
+    gather exactly (3-term bf16 split); bf16 inputs take the single-pass
+    bf16 path — the values are already bf16, a following bf16 matmul
+    would round the same way, and the split passes would be pure waste.
+    Differentiable in ``vals`` (VJP = one batched transposed one-hot
+    scatter-add).
     """
     from scanobjectnn_tpu.ops.pallas.onehot import _flat_gather_impl
 
     b, m, k = idx.shape
+    exact = vals.dtype != jnp.bfloat16
     out = _flat_gather_impl(
         vals.astype(jnp.float32), idx.reshape(b, m * k),
-        exact=True, interpret=_interpret(),
+        exact=exact, interpret=_interpret(),
     )
-    return out.reshape(b, m, k, vals.shape[-1])
+    return out.reshape(b, m, k, vals.shape[-1]).astype(vals.dtype)
 
 
 def _gn_fwd(vals, idx):

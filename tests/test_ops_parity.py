@@ -307,6 +307,48 @@ class TestKNNPallas:
         got = np.asarray(duplicate_mask_pallas(ptsj, interpret=True))
         np.testing.assert_array_equal(want, got)
 
+    def test_duplicate_mask_multi_tile(self, rng):
+        # n=384 -> tile=128, g=3: exercises cross-tile global row indexing,
+        # the dynamic sublane store, and the revisited output block (the
+        # single-tile case covers none of those).
+        from scanobjectnn_tpu.ops.pallas.knn_kernel import duplicate_mask_pallas
+        from scanobjectnn_tpu.nn.xconv import _duplicate_mask
+
+        pts = _cloud(rng, b=2, n=384)
+        pts[0, 300:310] = pts[0, 20:30]   # dup pair spanning tiles 0 and 2
+        pts[1, 130] = pts[1, 129]          # adjacent dup inside tile 1
+        pts[1, 5] = pts[1, 260]            # "dup" whose twin comes LATER
+        ptsj = jnp.asarray(pts)
+        want = np.asarray(_duplicate_mask(ptsj)).astype(np.float32)
+        got = np.asarray(duplicate_mask_pallas(ptsj, interpret=True))
+        np.testing.assert_array_equal(want, got)
+
+    def test_gather_neighbors_grad_close_to_exact_scatter(self, rng):
+        # sample_and_group & XConv now route feature gathers through
+        # gather_neighbors_pallas, whose VJP is the 2-term bf16 split
+        # scatter (~17 mantissa bits) rather than group_point's exact
+        # scatter-add; pin the forward exactly and the gradient to the
+        # documented precision so a split regression is visible.
+        from scanobjectnn_tpu.ops.pallas import edge_kernel
+        from scanobjectnn_tpu.ops.grouping import batched_index_gather
+
+        vals = jnp.asarray(rng.randn(2, 64, 16).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 64, size=(2, 24, 4)).astype(np.int32))
+        a = np.asarray(edge_kernel.gather_neighbors_pallas(vals, idx))
+        b = np.asarray(batched_index_gather(vals, idx))
+        np.testing.assert_array_equal(a, b)  # forward: 3-term split exact
+
+        def loss_pallas(v):
+            return jnp.sum(edge_kernel.gather_neighbors_pallas(v, idx) ** 2)
+
+        def loss_exact(v):
+            return jnp.sum(batched_index_gather(v, idx) ** 2)
+
+        ga = np.asarray(jax.grad(loss_pallas)(vals))
+        gb = np.asarray(jax.grad(loss_exact)(vals))
+        scale = np.abs(gb).max()
+        assert np.abs(ga - gb).max() <= 2e-4 * scale  # ~2^-17 rel (2-term)
+
     def test_knn_dup_bias_selects_unique(self, rng):
         from scanobjectnn_tpu.ops.pallas.knn_kernel import (
             duplicate_mask_pallas,
