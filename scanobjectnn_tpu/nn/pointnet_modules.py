@@ -56,9 +56,10 @@ def sample_and_group(
         # Fused ball query + centered grouping (Pallas on TPU for large N).
         grouped_xyz, idx, _ = ops.query_ball_group(radius, nsample, xyz, new_xyz)
     if points is not None:
-        # Batched one-hot MXU gather on TPU (2.7 -> ~0.8 ms at SA2 shapes);
-        # falls back to the XLA row gather elsewhere.  Gradient via the
-        # 2-term bf16 split scatter (the kernels' shared convention).
+        # Batched one-hot MXU gather on TPU (2.7 -> 1.8 ms fwd, 3.6 -> 2.4
+        # fwd+bwd at SA2 shapes); falls back to the XLA row gather
+        # elsewhere.  Gradient via the 2-term bf16 split scatter (the
+        # kernels' shared convention; parity pinned in test_ops_parity).
         grouped_points = gather_neighbors(points, idx)
         if use_xyz:
             new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
