@@ -253,7 +253,7 @@ def query_ball_group_pallas(
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     tile = m
-    for cand in (128, 64, 32, 16, 8, 4, 2, 1):
+    for cand in (128, 64, 32, 16, 8, 4, 2, 1):  # t256 measured no faster, uses 2x VMEM
         if m % cand == 0:
             tile = cand
             break
