@@ -603,7 +603,8 @@ class Trainer:
                 self.save(state)
         if test_data is not None:
             self.logger.log(f"Best test accuracy: {best_acc:f}")
-            self.logger.log(f"Best test class accuracy: {best_avg_cls:f}")
+            if best_avg_cls >= 0:  # partseg has no per-class cls accuracy
+                self.logger.log(f"Best test class accuracy: {best_avg_cls:f}")
         return state
 
     # ------------------------------------------------------------ checkpoints
