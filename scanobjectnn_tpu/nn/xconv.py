@@ -57,6 +57,31 @@ def _mask_duplicate_points(d2: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     return d2 + jnp.max(d2) * dup[:, None, :].astype(d2.dtype)
 
 
+def _knn_indices_pallas(queries, points, k: int, unique: bool, interpret: bool = False):
+    """The TPU branch of knn_indices_general, factored out so the interpret
+    suite can pin the dispatch glue (dup-bias construction, norm bound,
+    stop-gradient barriers) off-TPU."""
+    from scanobjectnn_tpu.ops.pallas.knn_kernel import (
+        duplicate_mask_pallas,
+        knn_point_pallas,
+    )
+
+    queries_sg = jax.lax.stop_gradient(queries)
+    points_sg = jax.lax.stop_gradient(points)
+    bias = None
+    if unique:
+        big = (
+            4.0 * jnp.max(jnp.sum(queries_sg * queries_sg, axis=-1))
+            + 4.0 * jnp.max(jnp.sum(points_sg * points_sg, axis=-1))
+            + 1.0
+        )  # > max d2 = max (|q|+|p|)^2
+        bias = duplicate_mask_pallas(points_sg, interpret=interpret) * big
+    dist, idx = knn_point_pallas(
+        queries_sg, points_sg, k, interpret=interpret, bias=bias
+    )
+    return jax.lax.stop_gradient(dist), idx
+
+
 def knn_indices_general(
     queries: jnp.ndarray, points: jnp.ndarray, k: int, unique: bool = True
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -88,22 +113,7 @@ def knn_indices_general(
         and queries.shape[1] * points.shape[1] >= 256 * 1024
         and k <= 64
     ):
-        from scanobjectnn_tpu.ops.pallas.knn_kernel import (
-            duplicate_mask_pallas,
-            knn_point_pallas,
-        )
-
-        queries_sg = jax.lax.stop_gradient(queries)
-        points_sg = jax.lax.stop_gradient(points)
-        bias = None
-        if unique:
-            big = (
-                4.0 * jnp.max(jnp.sum(queries_sg * queries_sg, axis=-1))
-                + 4.0 * jnp.max(jnp.sum(points_sg * points_sg, axis=-1))
-                + 1.0
-            )  # > max d2 = max (|q|+|p|)^2
-            bias = duplicate_mask_pallas(points_sg) * big
-        return knn_point_pallas(queries_sg, points_sg, k, bias=bias)
+        return _knn_indices_pallas(queries, points, k, unique)
 
     d2 = pairwise_squared_distance(queries, points)
     if unique:

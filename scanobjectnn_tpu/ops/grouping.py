@@ -218,11 +218,11 @@ def query_ball_group(
     returns (grouped_xyz[B,M,K,3] == group_point(xyz, idx) − new_xyz[:,:,None],
     idx, pts_cnt).
 
-    On TPU with N >= 1024 this dispatches to the fused Pallas kernel, which
-    emits the grouped coordinates from the same selection rounds (no separate
-    gather).  NOTE: the fused path is not differentiable w.r.t. ``xyz`` — in
-    the SA stack coordinates are data leaves, so no gradient flows there; use
-    the lax path for exotic uses needing coordinate gradients.
+    On TPU with N >= 512 this dispatches to the fused Pallas kernel, which
+    emits the grouped coordinates in-kernel (no separate gather).  NOTE: the
+    fused path is not differentiable w.r.t. ``xyz`` — in the SA stack
+    coordinates are data leaves, so no gradient flows there; use the lax
+    path for exotic uses needing coordinate gradients.
     """
     from scanobjectnn_tpu.ops.fps import _use_pallas
 

@@ -316,11 +316,15 @@ def query_ball_group_pallas(
             jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
             coord_shape, coord_shape, coord_shape,
         ),
+        # The chunked slot loop's [K, T] transposed accumulators; the
+        # K <= 32 unrolled branch never touches them, so shrink to the
+        # 8-sublane minimum there instead of reserving dead VMEM.
         scratch_shapes=[
-            pltpu.VMEM((-(-nsample // 16) * 16, tile), jnp.float32),  # gx [K,T]
-            pltpu.VMEM((-(-nsample // 16) * 16, tile), jnp.float32),  # gy
-            pltpu.VMEM((-(-nsample // 16) * 16, tile), jnp.float32),  # gz
-            pltpu.VMEM((-(-nsample // 16) * 16, tile), jnp.float32),  # col
+            pltpu.VMEM(
+                (8 if nsample <= 32 else -(-nsample // 16) * 16, tile),
+                jnp.float32,
+            )
+            for _ in range(4)  # gx gy gz col
         ],
         # The independent slot one-hots tempt Mosaic's scheduler into
         # keeping several [T, N] bf16 buffers live at once; give it room

@@ -111,12 +111,10 @@ def duplicate_mask_pallas(
     (pointfly.py:131-146).  The XLA [B,N,N,3] equality formulation costs
     1.8 ms at B32/N1024 on v5e; this blocked version keeps everything in
     VMEM."""
+    from scanobjectnn_tpu.ops.pallas.onehot import _pick_tile
+
     b, n, _ = xyz.shape
-    tile = n
-    for cand in (256, 128, 64, 32, 16, 8):
-        if n % cand == 0:
-            tile = cand
-            break
+    tile = _pick_tile(n, biggest=256)
     xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # [B, 3, N]
     kernel = functools.partial(_dup_mask_kernel, tile=tile)
     g = n // tile

@@ -365,3 +365,27 @@ class TestKNNPallas:
         # 63 unique points: index 33 may only ever appear in the LAST slot
         # of a row (all unique candidates exhausted first).
         assert not (flat[:, :-1] == 33).any()
+
+    def test_knn_indices_pallas_branch_matches_lax(self, rng):
+        # Pin the TPU dispatch glue of knn_indices_general (dup-bias
+        # construction, norm bound, stop-gradient barriers) in interpret
+        # mode: CPU runs never take this branch via the public API.
+        from scanobjectnn_tpu.nn.xconv import (
+            _knn_indices_pallas,
+            _mask_duplicate_points,
+        )
+        from scanobjectnn_tpu.ops.grouping import pairwise_squared_distance
+
+        pts = _cloud(rng, b=2, n=96)
+        pts[0, 60:64] = pts[0, 10:14]  # duplicates to suppress
+        q = _cloud(rng, b=2, n=32)
+        ptsj, qj = jnp.asarray(pts), jnp.asarray(q)
+        d2 = _mask_duplicate_points(pairwise_squared_distance(qj, ptsj), ptsj)
+        _, want = jax.lax.top_k(-d2, 6)
+        _, got = _knn_indices_pallas(qj, ptsj, 6, unique=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+        # The branch must be a gradient barrier on every output.
+        g = jax.grad(
+            lambda p: jnp.sum(_knn_indices_pallas(qj, p, 6, True, True)[0])
+        )(ptsj)
+        assert float(jnp.max(jnp.abs(g))) == 0.0
