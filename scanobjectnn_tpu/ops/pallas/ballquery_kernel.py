@@ -162,6 +162,10 @@ def _ball_group_kernel(
         blocks.append(cj + base)
         base = base + cj[:, w - 1 : w]
     rank = jnp.concatenate(blocks, axis=1)  # [T, N] f32, exact ints
+    # NOTE a bf16 slot array (clamped to nsample+1, exact; two sublanes per
+    # vreg → half-cost eq/select passes) fails Mosaic lowering: the i1 mask
+    # of a (16,128)-tiled bf16 compare trips an "invalid relayout" on this
+    # toolchain.  Keep f32.
     slot = jnp.where(hit, rank, jnp.float32(0.0))  # 1-based slot per hit
 
     # Slot loop.  K <= 32 fully unrolls with direct stacking — best ILP,
