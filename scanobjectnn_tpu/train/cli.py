@@ -47,6 +47,8 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--decay_step", type=int, default=200000)
     p.add_argument("--decay_rate", type=float, default=0.7)
     p.add_argument("--seg_weight", type=float, default=0.5)
+    p.add_argument("--reg_weight", type=float, default=0.001,
+                   help="T-Net orthogonality penalty weight (pointnet_cls.py:93)")
     p.add_argument("--num_votes", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
@@ -102,6 +104,7 @@ def _make_trainer(args, kind: str):
         decay_step=args.decay_step,
         decay_rate=args.decay_rate,
         seg_weight=args.seg_weight,
+        reg_weight=args.reg_weight,
         dtype=args.dtype,
         seed=args.seed,
         log_dir=args.log_dir,

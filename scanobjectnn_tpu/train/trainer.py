@@ -65,6 +65,7 @@ class TrainerConfig:
     decay_step: int = 200_000
     decay_rate: float = 0.7
     seg_weight: float = 0.5
+    reg_weight: float = 0.001
     weight_decay: float = 0.0
     dtype: str = "float32"
     seed: int = 0
@@ -103,6 +104,22 @@ class Trainer:
             kwargs.setdefault("num_classes", config.num_classes)
         kwargs.setdefault("dtype", config.jnp_dtype)
         self.model, self._loss_fn, self.kind = model_zoo.get_model(config.model, **kwargs)
+        # Bind the driver's loss-composition flags onto the model's static
+        # loss: the reference threads FLAGS.seg_weight into get_loss
+        # (pointnet2/train_seg.py:150) and PointNet hard-codes reg_weight
+        # 0.001 (pointnet_cls.py:93); each loss only receives the knobs its
+        # signature declares.
+        import functools
+        import inspect
+
+        loss_params = inspect.signature(self._loss_fn).parameters
+        loss_overrides = {
+            k: getattr(config, k)
+            for k in ("seg_weight", "reg_weight")
+            if k in loss_params
+        }
+        if loss_overrides:
+            self._loss_fn = functools.partial(self._loss_fn, **loss_overrides)
 
         self.recipe = (
             model_zoo.get_recipe(config.model) if config.use_model_recipe else None
@@ -154,6 +171,16 @@ class Trainer:
         # in float64) so all vote angles share ONE compiled eval step.
         self._eval_step = jax.jit(
             self._eval_step_impl,
+            in_shardings=(None, self._batch_shard, self._repl),
+        )
+        # Fused-votes eval: ALL vote rotations run in one jitted program
+        # (votes stacked into the batch dim, logits summed on-device).  The
+        # reference dispatches sess.run once per vote per batch
+        # (evaluate_scenennobjects.py:180-196); on this image a host→device
+        # round trip is ~25 ms, so a 12-vote eval would spend ~12× the
+        # compute time in pure dispatch.  One compiled program per num_votes.
+        self._eval_votes = jax.jit(
+            self._eval_votes_impl,
             in_shardings=(None, self._batch_shard, self._repl),
         )
 
@@ -267,6 +294,45 @@ class Trainer:
         out.update(self._compute_metrics(outputs, batch))
         return out
 
+    def _eval_votes_impl(self, state: TrainState, batch: dict, rots: jnp.ndarray):
+        """All-votes eval in ONE program: rotate the batch by every vote
+        matrix ([V, 3, 3]), run the model once on the [V·B] stacked batch
+        (train=False — BN stats fixed, so stacking changes no numerics),
+        and sum logits over votes on-device.  Per-vote losses average to
+        the same value the per-vote host loop accumulates."""
+        points = batch["points"].astype(jnp.float32)
+        v = rots.shape[0]
+        b, n, _ = points.shape
+        pts = jnp.einsum(
+            "bnc,vcd->vbnd", points, rots, precision=jax.lax.Precision.HIGHEST
+        ).reshape(v * b, n, 3)
+        outputs = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pts,
+            train=False,
+        )
+        # Loss per vote, then averaged — NOT the stacked-batch mean: losses
+        # with sum reductions (PointNet's mat_diff penalty) would read V×
+        # too large on a [V·B] batch.  Matches the host loop's
+        # Σ_v loss_v / V exactly.
+        outputs_v = jax.tree_util.tree_map(
+            lambda x: x.reshape((v, b) + x.shape[1:]), outputs
+        )
+        loss = jnp.mean(
+            jax.vmap(lambda o: self._loss_fn(o, batch)[0])(outputs_v)
+        )
+        out = {"loss": loss}
+        if "logits" in outputs:
+            out["logits_sum"] = jnp.sum(
+                outputs["logits"].astype(jnp.float32).reshape(v, b, -1), axis=0
+            )
+        if "seg_logits" in outputs:
+            sl = outputs["seg_logits"].astype(jnp.float32)
+            out["seg_logits_sum"] = jnp.sum(
+                sl.reshape(v, b, *sl.shape[1:]), axis=0
+            )
+        return out
+
     # ------------------------------------------------------------ public API
 
     def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
@@ -280,6 +346,31 @@ class Trainer:
             [[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], jnp.float32
         )
         return self._eval_step(state, batch, rot)
+
+    @staticmethod
+    def _vote_rotations(num_votes: int) -> jnp.ndarray:
+        """The voting protocol's y-rotation matrices [V, 3, 3]: uniformly
+        spaced angles 2π·v/V (evaluate_scenennobjects.py:180-181), each
+        matrix identical to the single-angle eval_step's."""
+        angles = 2.0 * np.pi * np.arange(num_votes) / float(num_votes)
+        c, s = np.cos(angles), np.sin(angles)
+        zero, one = np.zeros_like(c), np.ones_like(c)
+        mats = np.stack(
+            [
+                np.stack([c, zero, s], axis=-1),
+                np.stack([zero, one, zero], axis=-1),
+                np.stack([-s, zero, c], axis=-1),
+            ],
+            axis=-2,
+        )
+        return jnp.asarray(mats, jnp.float32)
+
+    def eval_votes(self, state: TrainState, batch: dict, num_votes: int = 1):
+        """Fused voting eval: every vote rotation in one device program.
+        Returns {'loss', 'logits_sum'[, 'seg_logits_sum']}."""
+        batch = mesh_lib.shard_batch(self._as_device_batch(batch), self.mesh)
+        rots = jax.device_put(self._vote_rotations(num_votes), self._repl)
+        return self._eval_votes(state, batch, rots)
 
     def _as_device_batch(self, batch: dict) -> dict:
         out = {"points": jnp.asarray(batch["points"], jnp.float32)}
@@ -440,20 +531,22 @@ class Trainer:
         from scanobjectnn_tpu.data.pipeline import padded_batches
 
         for batch, valid in padded_batches(view, cfg.batch_size):
-            pred_sum = np.zeros((valid, num_classes), np.float32)
-            batch_loss = 0.0
-            seg_logits_sum = None
-            for vote_idx in range(num_votes):
-                angle = vote_idx / float(num_votes) * 2.0 * np.pi
-                out = self.eval_step(state, batch, rotate_angle=angle)
-                if "logits" in out:
-                    pred_sum += np.asarray(out["logits"], np.float32)[:valid]
-                if "seg_logits" in out:
-                    s = np.asarray(out["seg_logits"], np.float32)[:valid]
-                    seg_logits_sum = s if seg_logits_sum is None else seg_logits_sum + s
-                batch_loss += float(out["loss"]) * valid / num_votes
-            loss_sum += batch_loss
-            if "logits" in out:
+            # ONE device program per batch covers all votes (rotations
+            # stacked into the batch dim, logits summed on-device) — the
+            # host loop over votes cost ~25 ms dispatch per vote per batch.
+            out = self.eval_votes(state, batch, num_votes=num_votes)
+            pred_sum = (
+                np.asarray(out["logits_sum"], np.float32)[:valid]
+                if "logits_sum" in out
+                else np.zeros((valid, num_classes), np.float32)
+            )
+            seg_logits_sum = (
+                np.asarray(out["seg_logits_sum"], np.float32)[:valid]
+                if "seg_logits_sum" in out
+                else None
+            )
+            loss_sum += float(out["loss"]) * valid
+            if "logits_sum" in out:
                 pred = np.argmax(pred_sum, axis=1)
                 labels_np = np.asarray(batch["labels"])[:valid]
                 total_correct += int((pred == labels_np).sum())
@@ -575,11 +668,13 @@ class Trainer:
             self.logger.log(f"{msg} ({time.time() - t0:.1f}s)")
             scalars = {f"train_{k}": v for k, v in summary.items()}
             if test_data is not None:
+                t_ev = time.time()
                 ev = self.evaluate(
                     state, test_data["points"], test_data["labels"],
                     masks=test_data.get("masks"), parts=test_data.get("parts"),
                     num_votes=num_votes,
                 )
+                scalars["eval_seconds"] = time.time() - t_ev
                 self.logger.log(
                     "  eval "
                     + " ".join(
@@ -647,10 +742,10 @@ class Trainer:
             if src and os.path.isfile(src):
                 shutil.copy2(src, dst)
 
-    def restore(self, template: TrainState) -> TrainState | None:
+    def restore(self, template: TrainState, best: bool = False) -> TrainState | None:
         import orbax.checkpoint as ocp
 
-        path = self._ckpt_dir()
+        path = self._ckpt_dir(best=best)
         if not os.path.isdir(path):
             return None
         ckptr = ocp.StandardCheckpointer()

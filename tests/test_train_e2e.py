@@ -300,6 +300,113 @@ def test_partseg_eval_reports_per_part_table():
     assert ev["seg_accuracy"] >= 0
 
 
+def test_fused_votes_match_host_vote_loop():
+    """eval_votes (all rotations in one device program) must reproduce the
+    per-vote host loop: summed logits allclose, loss = Σ_v loss_v / V —
+    including sum-reduction loss terms (PointNet's mat_diff penalty)."""
+    cfg = TrainerConfig(
+        model="pointnet_cls", num_classes=3, num_point=48, batch_size=8
+    )
+    trainer = Trainer(cfg)
+    data = _dataset()
+    state = trainer.init_state(0)
+    batch = {k: v[:8] for k, v in data.items()}
+    votes = 5
+    out = trainer.eval_votes(state, batch, num_votes=votes)
+    pred_sum = np.zeros((8, 3), np.float32)
+    loss = 0.0
+    for vote in range(votes):
+        o = trainer.eval_step(
+            state, batch, rotate_angle=vote / votes * 2.0 * np.pi
+        )
+        pred_sum += np.asarray(o["logits"], np.float32)
+        loss += float(o["loss"]) / votes
+    np.testing.assert_allclose(
+        np.asarray(out["logits_sum"]), pred_sum, rtol=2e-5, atol=2e-5
+    )
+    assert float(out["loss"]) == pytest.approx(loss, rel=1e-4)
+
+
+def test_fused_votes_seg_logits():
+    cfg = TrainerConfig(
+        model="pointnet_seg", num_classes=3, num_point=48, batch_size=8
+    )
+    trainer = Trainer(cfg)
+    data = _dataset(with_mask=True)
+    state = trainer.init_state(0)
+    batch = {k: v[:8] for k, v in data.items()}
+    out = trainer.eval_votes(state, batch, num_votes=3)
+    want = np.zeros_like(np.asarray(out["seg_logits_sum"]))
+    for vote in range(3):
+        o = trainer.eval_step(state, batch, rotate_angle=vote / 3 * 2.0 * np.pi)
+        want += np.asarray(o["seg_logits"], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(out["seg_logits_sum"]), want, rtol=2e-5, atol=2e-5
+    )
+
+
+def test_seg_weight_reaches_loss_through_cli_flags():
+    """--seg_weight must change the trained loss composition: w=0 → pure cls
+    CE, w=1 → pure seg CE (reference threads FLAGS.seg_weight into get_loss,
+    pointnet2/train_seg.py:150; round-2 VERDICT found the flag inert)."""
+    import argparse
+
+    import optax
+
+    from scanobjectnn_tpu.models import losses
+    from scanobjectnn_tpu.train import cli as cli_mod
+
+    data = _dataset(with_mask=True)
+    batch = {k: v[:8] for k, v in data.items()}
+
+    def run(w):
+        p = argparse.ArgumentParser()
+        cli_mod._add_common_flags(p)
+        args = p.parse_args([
+            "--model", "pointnet2_cls_bga", "--num_class", "3",
+            "--num_point", "48", "--batch_size", "8",
+            "--seg_weight", str(w), "--log_dir", "",
+        ])
+        trainer = cli_mod._make_trainer(args, "seg")
+        state = trainer.init_state(0)
+        return trainer.eval_step(state, batch)
+
+    out0 = run(0.0)
+    cls = float(losses.softmax_cross_entropy(
+        jnp.asarray(out0["logits"]), jnp.asarray(batch["labels"])
+    ))
+    assert float(out0["loss"]) == pytest.approx(cls, rel=1e-5)
+
+    out1 = run(1.0)
+    per_point = optax.softmax_cross_entropy_with_integer_labels(
+        jnp.asarray(out1["seg_logits"], jnp.float32),
+        jnp.asarray(batch["masks"], jnp.int32),
+    )
+    seg = float(jnp.mean(per_point))
+    assert float(out1["loss"]) == pytest.approx(seg, rel=1e-5)
+    assert abs(cls - seg) > 1e-6  # the two compositions actually differ
+
+
+def test_reg_weight_scales_tnet_penalty():
+    """--reg_weight scales the T-Net orthogonality term (pointnet_cls.py:93)."""
+    base = dict(model="pointnet_cls", num_classes=3, num_point=48, batch_size=8)
+    data = _dataset()
+    batch = {k: v[:8] for k, v in data.items()}
+    # One train step to move the T-Net off its identity init (where the
+    # penalty is exactly zero and the flag would be unobservable).
+    t = Trainer(TrainerConfig(**base, learning_rate=1e-2))
+    state = t.init_state(0)
+    state, _ = t.train_step(state, batch, jax.random.PRNGKey(0))
+
+    def loss_at(rw):
+        tr = Trainer(TrainerConfig(**base, reg_weight=rw))
+        assert tr._loss_fn.keywords["reg_weight"] == rw
+        return float(tr.eval_step(state, batch)["loss"])
+
+    l0, l10 = loss_at(0.0), loss_at(10.0)
+    assert l10 > l0  # nonzero penalty, scaled by the flag
+
+
 def test_fit_writes_metrics_best_and_snapshot(tmp_path):
     """fit() must leave the reference's log-dir artifacts: metrics.jsonl
     scalar history, best-accuracy checkpoint + marker (3DmFV-Net/
