@@ -115,9 +115,13 @@ def knn_indices_general(
     ):
         return _knn_indices_pallas(queries, points, k, unique)
 
-    d2 = pairwise_squared_distance(queries, points)
+    # stop_gradient here too so the gradient barrier holds on BOTH backends
+    # (round-2 ADVICE: only the Pallas branch blocked distance gradients).
+    d2 = pairwise_squared_distance(
+        jax.lax.stop_gradient(queries), jax.lax.stop_gradient(points)
+    )
     if unique:
-        d2 = _mask_duplicate_points(d2, points)
+        d2 = _mask_duplicate_points(d2, jax.lax.stop_gradient(points))
     neg, idx = jax.lax.top_k(-d2, k)
     return -neg, idx.astype(jnp.int32)
 

@@ -72,7 +72,11 @@ from scanobjectnn_tpu.ops.pallas.onehot import (  # noqa: F401  (re-exports)
 
 
 def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
-                cmax_ref, cmin_ref, idxt_ref, gall_ref, *, k: int, tile: int):
+                cmax_ref, cmin_ref, idxt_ref, *maybe_gall, k: int, tile: int):
+    # maybe_gall holds the [B,k,N,Cv] saved-gather output only when the VJP
+    # needs it; the primal-only (inference) variant omits the ref entirely so
+    # no dead multi-GB HBM write happens (round-2 ADVICE finding).
+    gall_ref = maybe_gall[0] if maybe_gall else None
     j = pl.program_id(1)
     feats = feats_ref[0]  # [N, Cf]
     cv = vals_ref[0].shape[-1]
@@ -107,7 +111,8 @@ def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
         s = s + g
         q2 = q2 + g * g
         idxt_ref[0, r, :] = am  # [k, T] layout: static sublane store
-        gall_ref[0, r] = g  # saved for the batched-scatter backward
+        if gall_ref is not None:
+            gall_ref[0, r] = g  # saved for the batched-scatter backward
         d2 = jnp.where(onehot, jnp.inf, d2)
 
     mmax_ref[0] = mmax
@@ -118,36 +123,42 @@ def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
     cmin_ref[0] = cmin
 
 
-def _edge_reduce_fwd_pallas(feats, vals, k: int, interpret: bool = False):
+def _edge_reduce_fwd_pallas(
+    feats, vals, k: int, interpret: bool = False, save_gall: bool = True
+):
     b, n, cf = feats.shape
     cv = vals.shape[-1]
     tile = _pick_tile(n)  # t256 measured SLOWER (5.5 vs 4.2 ms fwd)
     kernel = functools.partial(_fwd_kernel, k=k, tile=tile)
     tile_spec = pl.BlockSpec((1, tile, cv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    *red, idxt, gall = pl.pallas_call(
+    out_specs = [
+        tile_spec, tile_spec, tile_spec, tile_spec, tile_spec, tile_spec,
+        pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, n, cv), jnp.float32)] * 6 + [
+        jax.ShapeDtypeStruct((b, k, n), jnp.int32),
+    ]
+    if save_gall:
+        out_specs.append(
+            pl.BlockSpec((1, k, tile, cv), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b, k, n, cv), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(b, n // tile),
         in_specs=[
             pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            tile_spec, tile_spec, tile_spec, tile_spec, tile_spec, tile_spec,
-            pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tile, cv), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
-            jax.ShapeDtypeStruct((b, k, n), jnp.int32),
-            jax.ShapeDtypeStruct((b, k, n, cv), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(feats.astype(jnp.float32), vals.astype(jnp.float32))
+    if save_gall:
+        *red, idxt, gall = outs
+    else:
+        *red, idxt = outs
+        gall = None
     return (*red, jnp.swapaxes(idxt, 1, 2), gall)
 
 
@@ -165,7 +176,7 @@ def edge_reduce_pallas(feats, vals, k: int):
     neighbor idx [B, N, k].  Differentiable w.r.t. ``vals`` only.
     """
     mmax, mmin, s, q2, cmax, cmin, idx, _ = _edge_reduce_fwd_pallas(
-        feats, vals, k, interpret=_interpret()
+        feats, vals, k, interpret=_interpret(), save_gall=False
     )
     return {
         "mmax": mmax, "mmin": mmin, "s": s, "q2": q2,

@@ -235,7 +235,10 @@ def _fs_fwd(idxf, upd, n):
 
 def _fs_bwd(n, res, dout):
     idxf, dt = res
-    # d(upd) = gather of dout rows (bf16-rounded: gradient precision).
+    # d(upd) = exact (3-term) gather of dout rows.  The gather has no
+    # 2-term mode, and its 1-term exact=False path is single-pass bf16 —
+    # coarser than the 2-term scatter gradient convention — so exact wins
+    # here at the cost of one extra MXU pass.
     return None, _flat_gather_impl(dout, idxf, True, _interpret()).astype(dt)
 
 
