@@ -125,14 +125,11 @@ def volume_to_point_cloud(vol: np.ndarray) -> np.ndarray:
     return idx.astype(np.float32)
 
 
-def save_image(path: str, image: np.ndarray) -> None:
-    """Write a grayscale float image [0,1] as PNG (stdlib only — the
-    reference used the long-removed scipy.misc.imsave)."""
+def _write_png(path: str, arr: np.ndarray, color_type: int) -> None:
     import struct
     import zlib
 
-    arr = (np.clip(image, 0, 1) * 255).astype(np.uint8)
-    h, w = arr.shape
+    h, w = arr.shape[:2]
     raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
 
     def chunk(tag: bytes, data: bytes) -> bytes:
@@ -143,9 +140,24 @@ def save_image(path: str, image: np.ndarray) -> None:
 
     png = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
     with open(path, "wb") as f:
         f.write(png)
+
+
+def save_image(path: str, image: np.ndarray) -> None:
+    """Write a grayscale float image [0,1] as PNG (stdlib only — the
+    reference used the long-removed scipy.misc.imsave)."""
+    _write_png(path, (np.clip(image, 0, 1) * 255).astype(np.uint8), color_type=0)
+
+
+def save_image_rgb(path: str, image: np.ndarray) -> None:
+    """Write an [H, W, 3] image as RGB PNG; uint8 passes through, float is
+    treated as [0,1]."""
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    _write_png(path, arr, color_type=2)

@@ -283,3 +283,30 @@ class TestFVPlots:
         from scanobjectnn_tpu.viz.fvplots import MINMAX_DERIVATIVE_LABELS
 
         assert len(MINMAX_DERIVATIVE_LABELS) == FV_FEATURES
+
+
+class TestInterpCheck:
+    """FP-interpolation visual check (visu_interpolation.py equivalent)."""
+
+    def test_anchor_colors_are_exact_and_pngs_written(self, tmp_path):
+        import numpy as np
+
+        from scanobjectnn_tpu.viz import interp_check
+
+        xyz2 = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 1]], np.float32)
+        colors2 = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+        # A query AT an anchor reproduces the anchor color exactly (IDW with
+        # the 1e-10 clamp -> weight 1 on the coincident point).
+        got = interp_check.interpolated_colors(xyz2, xyz2, colors2)
+        np.testing.assert_allclose(got, colors2, atol=1e-6)
+        # Interpolated colors are convex combinations of the anchors.
+        rng = np.random.RandomState(0)
+        q = rng.random_sample((24, 3)).astype(np.float32)
+        mixed = interp_check.interpolated_colors(q, xyz2, colors2)
+        assert mixed.min() >= -1e-6 and mixed.max() <= 1 + 1e-6
+
+        paths = interp_check.main(str(tmp_path))
+        assert len(paths) == 3
+        for p in paths:
+            head = open(p, "rb").read(8)
+            assert head == b"\x89PNG\r\n\x1a\n"
