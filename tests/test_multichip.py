@@ -6,6 +6,7 @@ reference (its multi-device story is vacuous, SURVEY.md §2.6)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scanobjectnn_tpu.data import synthetic
 from scanobjectnn_tpu.parallel import mesh as mesh_lib
@@ -77,31 +78,44 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
-def test_full_train_step_all_models_on_mesh():
-    """Every registered model's full train step compiles and runs sharded
-    over the 8-device mesh (the dryrun_multichip contract)."""
+# One representative per family (all six reference method families) plus a
+# partseg head — each must run its FULL train step sharded over the mesh
+# (the dryrun_multichip contract).
+FAMILY_MODELS = [
+    "pointnet_cls",        # pointnet family (T-Nets)
+    "pointnet2_cls_ssg",   # pointnet2 family (SA pyramid)
+    "dgcnn_bga",           # dgcnn family, seg kind
+    "spidercnn_cls_xyz",   # spidercnn family
+    "3dmfv_net_cls",       # 3dmfv family (FV + 3D Inception)
+    "pointcnn_cls",        # pointcnn family (XConv)
+    "pointnet_partseg",    # partseg kind
+]
+
+
+@pytest.mark.parametrize("name", FAMILY_MODELS)
+def test_full_train_step_per_family_on_mesh(name):
     from scanobjectnn_tpu import models as zoo
 
-    data = _data(n=64)
+    n = 128
+    data = _data(n=n)
     mesh = mesh_lib.make_mesh()
     rng = jax.random.PRNGKey(0)
-    for name in ["pointnet2_cls_ssg", "dgcnn_bga", "pointnet_partseg"]:
-        kind = zoo.MODEL_REGISTRY[name].kind
-        cfg = TrainerConfig(
-            model=name,
-            num_classes=3 if kind != "partseg" else 6,
-            num_point=64,
-            batch_size=8,
-        )
-        trainer = Trainer(cfg, mesh=mesh)
-        state = trainer.init_state(0)
-        batch = {"points": data["points"][:8], "labels": data["labels"][:8]}
-        if kind == "seg":
-            batch["masks"] = np.random.RandomState(0).randint(0, 2, (8, 64))
-        if kind == "partseg":
-            batch["parts"] = np.random.RandomState(0).randint(0, 6, (8, 64))
-        state, metrics = trainer.train_step(state, batch, rng)
-        assert np.isfinite(float(metrics["loss"])), name
+    kind = zoo.MODEL_REGISTRY[name].kind
+    cfg = TrainerConfig(
+        model=name,
+        num_classes=3 if kind != "partseg" else 6,
+        num_point=n,
+        batch_size=8,
+    )
+    trainer = Trainer(cfg, mesh=mesh)
+    state = trainer.init_state(0)
+    batch = {"points": data["points"][:8], "labels": data["labels"][:8]}
+    if kind == "seg":
+        batch["masks"] = np.random.RandomState(0).randint(0, 2, (8, n))
+    if kind == "partseg":
+        batch["parts"] = np.random.RandomState(0).randint(0, 6, (8, n))
+    state, metrics = trainer.train_step(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"])), name
 
 
 def test_device_resident_epoch_is_sharded_and_matches_single_device():
@@ -123,11 +137,23 @@ def test_device_resident_epoch_is_sharded_and_matches_single_device():
     d8 = t8.upload_dataset(data)
     d1 = t1.upload_dataset(data)
 
-    # The compiled epoch program must carry a non-replicated (data-sharded)
-    # batch layout: check the lowered HLO mentions an 8-way sharding.
+    # The epoch program must constrain each sliced batch to the data-axis
+    # sharding: assert the ACTUAL spec in the lowered program — the points
+    # batch [16, 32, 3] carries [{"data"}, {}, {}] (batch dim split over the
+    # mesh axis), the labels [16] carry [{"data"}] — not just any mention of
+    # the word "sharding".
+    import re
+
     lowered = jax.jit(t8._epoch_impl).lower(s8, d8, rng)
     hlo = lowered.as_text()
-    assert "sharding" in hlo, "no sharding annotations in the epoch program"
+    assert re.search(
+        r'sharding_constraint[^\n]*\[\{"data"\}, \{\}, \{\}\]>'
+        r" : tensor<16x32x3xf32>",
+        hlo,
+    ), "points batch not constrained to the data axis in the epoch program"
+    assert re.search(
+        r'sharding_constraint[^\n]*\[\{"data"\}\]> : tensor<16xi32>', hlo
+    ), "labels not constrained to the data axis in the epoch program"
 
     for _ in range(2):
         s8, sum8 = t8.train_epoch_device(s8, d8, rng)
