@@ -55,6 +55,62 @@ def _cost_analysis(compiled) -> dict:
     return dict(ca) if ca else {}
 
 
+def _timed_ms(fn, pts, n_iters: int = 30) -> float:
+    """Wall ms/iter of ``fn`` chained serially inside one jit (a scalar
+    readback is the only reliable barrier on this image's tunneled TPU)."""
+
+    @jax.jit
+    def chained(pts):
+        def body(i, carry):
+            pts, acc = carry
+            out = fn(pts)
+            s = jnp.sum(out.astype(jnp.float32))
+            pts = pts * (1.0 + 1e-12 * s.astype(pts.dtype))
+            return pts, acc + s
+
+        _, acc = jax.lax.fori_loop(0, n_iters, body, (pts, jnp.float32(0)))
+        return acc
+
+    float(chained(pts))  # compile + warmup
+    t0 = time.perf_counter()
+    float(chained(pts))
+    return (time.perf_counter() - t0) / n_iters * 1000.0
+
+
+def _phase_ms(points) -> dict:
+    """Per-phase wall-clock of the forward's neighborhood kernels at the
+    exact SA shapes, so the headline states WHERE the time goes:
+    fps (SA1 2048→512 + SA2 512→128), ball_query (fused query+group at both
+    SA shapes); 'mlps_and_rest' is the remainder of the full forward."""
+    from scanobjectnn_tpu import ops
+
+    def fps_fn(pts):
+        i1 = ops.farthest_point_sample(pts, 512)
+        sub = ops.gather_point(pts, i1)
+        i2 = ops.farthest_point_sample(sub, 128)
+        return (i1.astype(jnp.float32).sum() + i2.astype(jnp.float32).sum())[None]
+
+    def bq_fn(pts):
+        i1 = ops.farthest_point_sample(pts, 512)
+        new1 = ops.gather_point(pts, i1)
+        g1, idx1, _ = ops.query_ball_group(0.2, 32, pts, new1)
+        i2 = ops.farthest_point_sample(new1, 128)
+        new2 = ops.gather_point(new1, i2)
+        g2, idx2, _ = ops.query_ball_group(0.4, 64, new1, new2)
+        return (
+            g1.sum() + g2.sum()
+            + idx1.astype(jnp.float32).sum() + idx2.astype(jnp.float32).sum()
+        )[None]
+
+    fps_ms = _timed_ms(fps_fn, points)
+    sample_group_ms = _timed_ms(bq_fn, points)
+    return {
+        "fps": round(fps_ms, 2),
+        # ball query measured as (fps+query+group chain) − fps chain
+        "ball_query_group": round(sample_group_ms - fps_ms, 2),
+    }
+
+
 def main() -> None:
     from scanobjectnn_tpu import models as zoo
 
@@ -89,11 +145,18 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     clouds_per_sec = BATCH * n_iters / dt
+    batch_ms = dt / n_iters * 1000.0
+    phases = _phase_ms(points)
+    phases["mlps_and_rest"] = round(
+        max(batch_ms - phases["fps"] - phases["ball_query_group"], 0.0), 2
+    )
     result = {
         "metric": "pointnet2_ssg_inference_2048pts",
         "value": round(clouds_per_sec, 1),
         "unit": "clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / REFERENCE_CLOUDS_PER_SEC, 2),
+        "batch_ms": round(batch_ms, 2),
+        "phase_ms": phases,
     }
 
     flops = float(ca.get("flops", 0.0))
@@ -111,10 +174,14 @@ def main() -> None:
             achieved_gbps=round(achieved_bps / 1e9, 1),
             flops_per_batch=flops,
             bytes_per_batch=bytes_accessed,
+            # "bound" only names a resource when it actually SATURATES
+            # (>60% of peak); otherwise the program is bound by neither —
+            # e.g. by the VPU passes of the neighborhood kernels, which the
+            # phase_ms decomposition localizes (round-2 VERDICT item 5).
             bound=(
                 "hbm"
-                if hbm_util > max(mfu, 0.15)
-                else "mxu" if mfu > 0.15 else "neither"
+                if hbm_util > max(mfu, 0.6)
+                else "mxu" if mfu > 0.6 else "neither"
             ),
         )
 

@@ -112,7 +112,17 @@ def run_row(model, kind, h5_dir, args):
         test_dict["masks"] = tmasks
 
     t0 = time.time()
-    state = trainer.fit(train_dict)
+    # Pass test_data so fit tracks the best-epoch checkpoint (the reference
+    # protocol: per-epoch eval + best-acc tracking, 3DmFV-Net/train.py:391-395;
+    # the final 12-vote evaluation then runs on the BEST checkpoint, not the
+    # last epoch's state — worth up to a few tenths, round-2 VERDICT item 7).
+    # --resume lets the many-hours real run restart per row.
+    state = trainer.fit(
+        train_dict, test_data=test_dict, num_votes=1, resume=args.resume
+    )
+    best_state = trainer.restore(state, best=True)
+    if best_state is not None:
+        state = best_state
     ev = trainer.evaluate(
         state, tdata, tlabels, masks=tmasks,
         num_votes=args.votes if not args.dry_run else 1,
@@ -139,6 +149,8 @@ def main(argv=None):
     p.add_argument("--output", default="table5_results.md")
     p.add_argument("--dry_run", action="store_true",
                    help="synthetic tiny h5 tree + 1 epoch: validates the harness")
+    p.add_argument("--resume", action="store_true",
+                   help="resume each row from its last checkpoint in log_root")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (env vars are too late in this "
                    "image — the sitecustomize pre-imports jax)")
