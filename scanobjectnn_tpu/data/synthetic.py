@@ -158,9 +158,9 @@ def make_hard_synthetic_dataset(
     1.000 — round-2 VERDICT: such checks cannot catch a model-quality
     regression).  Here:
 
-      * classes are ellipsoids whose axis-ratio triples differ by ~15%
-        with per-sample ±8% anisotropic scale jitter — the class signal
-        sits just above the jitter noise;
+      * classes are ellipsoids with distinct-but-confusable axis-ratio
+        triples under per-sample ±6% anisotropic scale jitter — the class
+        signal sits just above the jitter noise;
       * ``clutter_frac`` of each cloud is uniform clutter in a 2× larger
         ball with mask −1 (the h5 background convention), burying the
         global shape statistics that max-pool features rely on.
@@ -170,12 +170,18 @@ def make_hard_synthetic_dataset(
     pooled features.  Returns (points[B,N,3] f32, labels[B] i64,
     masks[B,N] i64 with −1 = clutter).
     """
-    # Axis-ratio prototypes: neighbors differ by ~15% in one axis.
-    base = np.array([1.00, 0.70, 0.45])
-    protos = []
-    for c in range(num_classes):
-        ratios = base * (1.0 + 0.15 * ((c % 3 == np.arange(3)) * (1 + c // 3)))
-        protos.append(ratios)
+    # Axis-ratio prototypes: distinct but confusable under jitter+clutter.
+    _PROTO_RATIOS = np.array([
+        [1.00, 0.85, 0.70],
+        [1.00, 0.55, 0.40],
+        [1.00, 1.00, 0.30],
+        [1.00, 0.40, 0.12],
+        [0.85, 0.85, 0.85],
+        [1.00, 0.70, 0.15],
+        [0.60, 0.60, 0.25],
+        [1.00, 0.25, 0.25],
+    ])
+    protos = [_PROTO_RATIOS[c % len(_PROTO_RATIOS)] for c in range(num_classes)]
     rng = np.random.RandomState(seed)
     n_clutter = int(round(num_points * clutter_frac))
     n_fg = num_points - n_clutter
@@ -184,7 +190,7 @@ def make_hard_synthetic_dataset(
         for _ in range(num_per_class):
             v = rng.randn(n_fg, 3)
             v /= np.linalg.norm(v, axis=1, keepdims=True)
-            jitter = 1.0 + 0.08 * rng.randn(3)
+            jitter = 1.0 + 0.06 * rng.randn(3)
             fg = (v * protos[label] * jitter * 0.5).astype(np.float32)
             cl = rng.randn(n_clutter, 3)
             cl /= np.linalg.norm(cl, axis=1, keepdims=True)

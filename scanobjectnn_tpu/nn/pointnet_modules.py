@@ -54,6 +54,10 @@ def sample_and_group(
         grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
     else:
         # Fused ball query + centered grouping (Pallas on TPU for large N).
+        # NOTE fusing the FEATURE gather into the same kernel was measured
+        # SLOWER at SA2 shapes (7.7-8.7 vs 5.8 ms separate at B=128 — the
+        # widened split costs a second MXU tile per slot matmul plus
+        # per-slot padding passes); see docs/KERNELS.md dead ends.
         grouped_xyz, idx, _ = ops.query_ball_group(radius, nsample, xyz, new_xyz)
     if points is not None:
         # Batched one-hot MXU gather on TPU (2.7 -> 1.8 ms fwd, 3.6 -> 2.4

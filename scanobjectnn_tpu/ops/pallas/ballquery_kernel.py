@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["query_ball_pallas"]
+__all__ = ["query_ball_pallas", "query_ball_group_pallas"]
 
 
 def _ball_kernel(xyz_ref, new_xyz_ref, idx_ref, cnt_ref, *, radius, nsample):
@@ -130,6 +130,12 @@ def _ball_group_kernel(
     # (split_ref [N, 16]: x0 y0 z0 x1 y1 z1 x2 y2 z2 c0 c1; the 3-term
     # coordinate split and 2-term column split reconstruct f32 bit-exactly,
     # the onehot.py convention).
+    #
+    # MXU roofline note (measured round 3): the K slot matmuls run at the
+    # MXU tile-step rate (~20.6 cycles per [128,128] step, i.e. peak) — the
+    # extraction is MXU-throughput-bound at K·N/128 steps per query tile, so
+    # further speedup requires algorithmically fewer contraction steps, not
+    # scheduling.  See BENCHMARKS.md.
     x = xyz_ref[0, 0, :][None, :]
     y = xyz_ref[0, 1, :][None, :]
     z = xyz_ref[0, 2, :][None, :]
@@ -138,29 +144,36 @@ def _ball_group_kernel(
 
     n = x.shape[-1]
     d2 = (qx - x) ** 2 + (qy - y) ** 2 + (qz - z) ** 2
-    d = jnp.maximum(jnp.sqrt(d2), 1e-20)
-    hit = d < radius
+    # No sqrt: max(sqrt(d2), 1e-20) < radius  ⇔  d2 < radius² for any
+    # radius > 1e-20 (sqrt is monotone; the clamp only moves d2 < 1e-40,
+    # still a hit).  Exact-parity measured vs the sqrt form.
+    hit = d2 < radius * radius
 
     cnt_total = jnp.sum(hit.astype(jnp.int32), axis=1)
     cnt_ref[0, :, 0] = jnp.minimum(cnt_total, nsample).astype(jnp.int32)
 
-    split = split_ref[0]  # [N, 16] bf16
+    split = split_ref[0]  # [N, L] bf16
     tri = tri_ref[...]  # [W, W] bf16 upper-triangular inclusive
 
-    # rank[t, i] = #hits at columns <= i (inclusive cumsum of hit), via one
-    # [T, W] @ [W, W] bf16 matmul per block plus exact f32 block offsets.
+    # rank[t, i] = #hits at columns <= i (inclusive cumsum of hit): one
+    # INDEPENDENT [T, W] @ [W, W] bf16 matmul per block (values <= 256 per
+    # block exact in bf16) + exact f32 block offsets accumulated with cheap
+    # [T, 1] adds — no serial matmul chain.
     w = tri.shape[0]
     hitb = jnp.where(hit, 1.0, 0.0).astype(jnp.bfloat16)
-    blocks = []
-    base = jnp.zeros((q.shape[0], 1), jnp.float32)
-    for j in range(n // w):
-        cj = jax.lax.dot_general(
+    cjs = [
+        jax.lax.dot_general(
             hitb[:, j * w : (j + 1) * w], tri,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [T, W] inclusive within-block cumsum
-        blocks.append(cj + base)
-        base = base + cj[:, w - 1 : w]
+        )
+        for j in range(n // w)
+    ]
+    blocks = []
+    base = jnp.zeros((q.shape[0], 1), jnp.float32)
+    for j in range(n // w):
+        blocks.append(cjs[j] + base)
+        base = base + cjs[j][:, w - 1 : w]
     rank = jnp.concatenate(blocks, axis=1)  # [T, N] f32, exact ints
     # NOTE a bf16 slot array (clamped to nsample+1, exact; two sublanes per
     # vreg → half-cost eq/select passes) fails Mosaic lowering: the i1 mask
@@ -168,14 +181,14 @@ def _ball_group_kernel(
     # toolchain.  Keep f32.
     slot = jnp.where(hit, rank, jnp.float32(0.0))  # 1-based slot per hit
 
-    # Slot loop.  K <= 32 fully unrolls with direct stacking — best ILP,
-    # tolerable compile (SA1 runs 2.74 vs 2.94 ms chunked).  Larger K uses
-    # a fori_loop over 16-slot unrolled chunks (a fully-unrolled K=64
-    # instance pushed the whole-epoch train program to ~10 min first
-    # compile; chunk 8 cost 13-36% runtime, 16 is within ~8%, 32 measured
-    # no better).  Chunk results land TRANSPOSED ([K, T] scratch, one
-    # sublane row per slot — dynamic stores are legal at sublane
-    # granularity) and transpose back at the end.
+    # Slot loop.  K <= 64 fully unrolls with direct stacking — best ILP and
+    # (round-3 measurement) MUCH faster Mosaic compile than the chunked
+    # fori_loop at K=64 (5 s vs ~8 min in a 30-call chain program) at
+    # slightly better runtime (3.23 vs 3.51 ms at SA2 B=128).  Larger K
+    # (MSG's 128) uses a fori_loop over 16-slot unrolled chunks; chunk
+    # results land TRANSPOSED ([K, T] scratch, one sublane row per slot —
+    # dynamic stores are legal at sublane granularity) and transpose back
+    # at the end.
     def slot_ext(kf):
         selb = jnp.where(slot == kf, 1.0, 0.0).astype(
             jnp.bfloat16
@@ -186,7 +199,7 @@ def _ball_group_kernel(
             preferred_element_type=jnp.float32,
         )  # [T, 16]
 
-    if nsample <= 32:
+    if nsample <= 64:
         exts = [slot_ext(jnp.float32(k + 1)) for k in range(nsample)]
         gx_a = jnp.stack([e[:, 0] + e[:, 3] + e[:, 6] for e in exts], axis=1)
         gy_a = jnp.stack([e[:, 1] + e[:, 4] + e[:, 7] for e in exts], axis=1)
@@ -241,19 +254,16 @@ def _ball_group_kernel(
     gz_ref[0, :, :] = jnp.where(valid, gz_a, fz[:, None]) - qz
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
-def query_ball_group_pallas(
-    radius: float,
-    nsample: int,
-    xyz: jnp.ndarray,
-    new_xyz: jnp.ndarray,
-    interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fused ball query + centered grouping.
+def _qbg_call(radius, nsample, xyz, new_xyz, interpret):
+    """pallas_call plumbing for the ball-group kernel.
 
-    Returns (grouped_xyz[B,M,K,3] centered on new_xyz, idx[B,M,K],
-    pts_cnt[B,M]) — grouped_xyz == group_point(xyz, idx) − new_xyz[:, :, None].
-    """
+    NOTE round-3 negative result: a feature-fused variant (feature lanes
+    packed beside the coordinate split, grouped features emitted from the
+    same per-slot matmuls) measured SLOWER than this kernel + the separate
+    gather_neighbors at SA2 shapes (7.7-8.7 vs 5.8 ms at B=128 N512 M128
+    K64 C128 bf16): the widened split costs a second MXU output tile per
+    slot matmul and the per-slot padding selects add VPU passes.  Removed;
+    numbers in docs/KERNELS.md."""
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     tile = m
@@ -264,9 +274,9 @@ def query_ball_group_pallas(
     xyz_f = xyz.astype(jnp.float32)
     xyz_t = jnp.transpose(xyz_f, (0, 2, 1))
     # 3-term bf16 split of the coordinates + 2-term split of the column
-    # index, packed [B, N, 16] (x0 y0 z0 x1 y1 z1 x2 y2 z2 c0 c1 + 5 zero
-    # lanes): the in-kernel one-hot matmuls against this reconstruct the f32
-    # coordinates and the integer column bit-exactly.
+    # index, packed [B, N, L] (x0 y0 z0 x1 y1 z1 x2 y2 z2 c0 c1 + 5 zero
+    # lanes, then the feature terms): the in-kernel one-hot matmuls against
+    # this reconstruct the f32 coordinates and the integer column bit-exactly.
     # MUST round via lax.reduce_precision: under jit XLA's excess-precision
     # rule folds f32->bf16->f32 convert chains to identity, which silently
     # zeroes the residual terms (measured: bf16-level 7.6e-3 error).
@@ -321,11 +331,11 @@ def query_ball_group_pallas(
             coord_shape, coord_shape, coord_shape,
         ),
         # The chunked slot loop's [K, T] transposed accumulators; the
-        # K <= 32 unrolled branch never touches them, so shrink to the
+        # K <= 64 unrolled branch never touches them, so shrink to the
         # 8-sublane minimum there instead of reserving dead VMEM.
         scratch_shapes=[
             pltpu.VMEM(
-                (8 if nsample <= 32 else -(-nsample // 16) * 16, tile),
+                (8 if nsample <= 64 else -(-nsample // 16) * 16, tile),
                 jnp.float32,
             )
             for _ in range(4)  # gx gy gz col
@@ -338,3 +348,19 @@ def query_ball_group_pallas(
     )(xyz_t, new_xyz.astype(jnp.float32), split, tri)
     grouped = jnp.stack([gx, gy, gz], axis=-1)
     return grouped, idx, cnt[..., 0]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def query_ball_group_pallas(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused ball query + centered grouping.
+
+    Returns (grouped_xyz[B,M,K,3] centered on new_xyz, idx[B,M,K],
+    pts_cnt[B,M]) — grouped_xyz == group_point(xyz, idx) − new_xyz[:, :, None].
+    """
+    return _qbg_call(radius, nsample, xyz, new_xyz, interpret)
