@@ -29,6 +29,7 @@ __all__ = [
     "sample_and_group_all",
     "SAModule",
     "SAModuleMSG",
+    "LiftedGroupMLP",
     "FPModule",
 ]
 
@@ -157,6 +158,72 @@ class SAModule(nn.Module):
         return new_xyz, pooled, idx
 
 
+class LiftedGroupMLP(nn.Module):
+    """Shared MLP over grouped neighborhoods with the FIRST Dense lifted to
+    per-point, applied BEFORE the neighbor gather — an exact linear
+    refactoring of Dense(concat(feats_j, p_j − q)):
+
+        [f_j, p_j − q]·W + b  =  ([f_j, p_j]·W + b)  −  [0, q]·W
+
+    so the first layer runs over the N source points instead of the M·K
+    edges (32× fewer rows at MSG SA2) and the gather moves C_mid channels
+    instead of C_in (64 vs 323 at MSG SA2 scale 3).  BN/relu and the
+    remaining layers act per-edge exactly as before — same values up to
+    f32 summation regrouping.  Parameter tree matches nn.layers.MLP
+    (dense_i / bn_i), so checkpoints are interchangeable with the
+    gather-then-MLP formulation.  The same trick powers the DGCNN EdgeConv
+    kernel (models/dgcnn.py A+B decomposition)."""
+
+    features: Sequence[int]
+    xyz_first: bool = False  # concat order: True = [xyz, feats] (SSG), False = [feats, xyz] (MSG)
+    bn: bool = True
+    dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        point_feats: jnp.ndarray | None,
+        xyz: jnp.ndarray,
+        query_xyz: jnp.ndarray,
+        idx: jnp.ndarray,
+        train: bool = False,
+        bn_momentum=0.9,
+    ) -> jnp.ndarray:
+        from scanobjectnn_tpu.nn.layers import BatchNorm, Dense
+
+        d0 = Dense(self.features[0], dtype=self.dtype, name="dense_0")
+        if point_feats is None:
+            pointwise = d0(xyz)
+            qfull = d0(query_xyz)
+        else:
+            parts = (
+                [xyz, point_feats] if self.xyz_first else [point_feats, xyz]
+            )
+            pointwise = d0(jnp.concatenate(parts, axis=-1))
+            b, m, _ = query_xyz.shape
+            zeros = jnp.zeros(
+                (b, m, point_feats.shape[-1]), query_xyz.dtype
+            )
+            qparts = [query_xyz, zeros] if self.xyz_first else [zeros, query_xyz]
+            qfull = d0(jnp.concatenate(qparts, axis=-1))
+        c_in = xyz.shape[-1] + (0 if point_feats is None else point_feats.shape[-1])
+        bias = d0(jnp.zeros((1, 1, c_in), xyz.dtype))
+        # per-edge pre-activation: pointwise_j − ([…0…, q]·W) — qfull carries
+        # the bias too, so add it back once.
+        x = gather_neighbors(pointwise, idx) - (qfull - bias)[:, :, None, :]
+        n_layers = len(self.features)
+        for i, f in enumerate(self.features):
+            if i > 0:
+                x = Dense(f, dtype=self.dtype, name=f"dense_{i}")(x)
+            if self.bn:
+                x = BatchNorm(
+                    dtype=self.dtype, axis_name=self.bn_axis_name, name=f"bn_{i}"
+                )(x, use_running_average=not train, momentum=bn_momentum)
+            x = nn.relu(x)
+        return x
+
+
 class SAModuleMSG(nn.Module):
     """Multi-scale grouping SA (ref pointnet_util.py:156-196): one FPS, a
     ball query + MLP + max-pool per radius, concat over scales."""
@@ -185,18 +252,38 @@ class SAModuleMSG(nn.Module):
             zip(self.radius_list, self.nsample_list, self.mlp_list)
         ):
             grouped_xyz, idx, _ = ops.query_ball_group(radius, nsample, xyz, new_xyz)
-            if points is not None:
-                grouped = gather_neighbors(points, idx)
-                if self.use_xyz:
-                    # MSG concatenates [points, xyz] — opposite order to SSG
-                    # (ref pointnet_util.py:176-177).
-                    grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
+            if (
+                points is not None
+                and self.use_xyz
+                and points.shape[-1] + 3 > mlp[0]
+            ):
+                # Lifted first conv: Dense_0 runs per-point BEFORE the
+                # gather, so the neighbor gather moves C_mid channels
+                # instead of C_in (64 vs 323 at SA2 scale 3) — an exact
+                # linear refactoring with an MLP-compatible param tree.
+                # Engaged only when it SHRINKS the gather (C_in > C_mid):
+                # lifting every scale, including SA1's points=None scales
+                # (which do no feature gather at all), measured a net LOSS
+                # (47.3 vs 40.0 ms/step).  MSG concatenates [points, xyz] —
+                # opposite order to SSG (ref pointnet_util.py:176-177) —
+                # hence xyz_first=False.
+                feats = LiftedGroupMLP(
+                    mlp, xyz_first=False, bn=self.bn, dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name, name=f"mlp_scale{i}",
+                )(points, xyz, new_xyz, idx, train=train, bn_momentum=bn_momentum)
             else:
-                grouped = grouped_xyz
-            feats = MLP(
-                mlp, bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                name=f"mlp_scale{i}",
-            )(grouped, train=train, bn_momentum=bn_momentum)
+                if points is not None:
+                    grouped = gather_neighbors(points, idx)
+                    if self.use_xyz:
+                        # MSG concatenates [points, xyz] — opposite order
+                        # to SSG (ref pointnet_util.py:176-177).
+                        grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
+                else:
+                    grouped = grouped_xyz
+                feats = MLP(
+                    mlp, bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                    name=f"mlp_scale{i}",
+                )(grouped, train=train, bn_momentum=bn_momentum)
             scale_feats.append(jnp.max(feats, axis=2))
         return new_xyz, jnp.concatenate(scale_feats, axis=-1)
 

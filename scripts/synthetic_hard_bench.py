@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Synthetic-hard benchmark: a DISCRIMINATING model-quality check.
+
+The easy synthetic fixture separates trivially (every family reaches 1.000
+— round-2 VERDICT: such checks cannot catch a model-quality regression).
+This harness trains on ``make_hard_synthetic_dataset`` — near-confusable
+ellipsoid classes buried in uniform background clutter — where:
+
+  * per-family accuracies SEPARATE (a quality regression moves them), and
+  * the BGA (background-aware) variants should beat their plain
+    counterparts, the paper's core claim
+    (/root/reference/pointnet2/models/pointnet2_cls_bga.py).
+
+It also measures the f32-vs-bf16 converged-accuracy delta for the families
+where bf16 buys real speed (round-2 VERDICT item 8), so the dtype default
+can be documented from data.
+
+Run on the TPU chip:  python scripts/synthetic_hard_bench.py
+Results land in SYNTH_HARD.md (markdown table) + synth_hard.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# (model, with_mask, dtype) rows.  Plain/BGA pairs adjacent.
+ROWS = [
+    ("pointnet_cls_basic", False, "float32"),
+    ("pointnet_seg", True, "float32"),
+    ("pointnet2_cls_ssg", False, "float32"),
+    ("pointnet2_cls_bga", True, "float32"),
+    ("dgcnn", False, "float32"),
+    ("dgcnn_bga", True, "float32"),
+    ("spidercnn_cls_xyz", False, "float32"),
+    ("3dmfv_net_cls", False, "float32"),
+    ("pointcnn_cls", False, "float32"),
+    # bf16 deltas for the families where bf16 buys real speed
+    # (pointnet 1.8x, pointcnn 10%, pointnet2 ~1.3x — BENCHMARKS.md).
+    ("pointnet_cls_basic", False, "bfloat16"),
+    ("pointnet2_cls_ssg", False, "bfloat16"),
+    ("pointcnn_cls", False, "bfloat16"),
+]
+
+
+def build_data(num_points: int, seed_train=0, seed_test=1):
+    from scanobjectnn_tpu.data import io, synthetic
+
+    pts, labels, masks = synthetic.make_hard_synthetic_dataset(
+        num_per_class=100, num_classes=6, num_points=num_points, seed=seed_train
+    )
+    tpts, tlabels, tmasks = synthetic.make_hard_synthetic_dataset(
+        num_per_class=30, num_classes=6, num_points=num_points, seed=seed_test
+    )
+    pts = io.normalize_data(io.center_data(pts))
+    tpts = io.normalize_data(io.center_data(tpts))
+    train = {
+        "points": pts, "labels": labels,
+        "masks": io.convert_to_binary_mask(masks),
+    }
+    test = {
+        "points": tpts, "labels": tlabels,
+        "masks": io.convert_to_binary_mask(tmasks),
+    }
+    return train, test
+
+
+def run_row(model, with_mask, dtype, train, test, args):
+    from scanobjectnn_tpu.train import Trainer, TrainerConfig
+
+    cfg = TrainerConfig(
+        model=model, num_classes=6, num_point=args.num_point,
+        batch_size=24, max_epoch=args.epochs, learning_rate=1e-3,
+        seed=0, dtype=dtype, augment_rotate=False,
+    )
+    trainer = Trainer(cfg)
+    tr = {"points": train["points"], "labels": train["labels"]}
+    if with_mask:
+        tr["masks"] = train["masks"]
+    t0 = time.time()
+    state = trainer.fit(tr)
+    ev = trainer.evaluate(
+        state, test["points"], test["labels"],
+        masks=test["masks"] if with_mask else None, num_votes=1,
+    )
+    return {
+        "model": model, "dtype": dtype, "bga": with_mask,
+        "accuracy": round(float(ev["accuracy"]), 4),
+        "seg_accuracy": round(float(ev.get("seg_accuracy", -1.0)), 4),
+        "wall_sec": round(time.time() - t0, 1),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--num_point", type=int, default=128)
+    p.add_argument("--models", default=None, help="comma list filter")
+    p.add_argument("--output", default="SYNTH_HARD.md")
+    p.add_argument("--json", dest="json_out", default="synth_hard.json")
+    args = p.parse_args(argv)
+
+    train, test = build_data(256)
+    selected = set(args.models.split(",")) if args.models else None
+    results = []
+    for model, with_mask, dtype in ROWS:
+        if selected and model not in selected:
+            continue
+        print(f"=== {model} ({dtype}) ===", flush=True)
+        r = run_row(model, with_mask, dtype, train, test, args)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    lines = [
+        "# Synthetic-hard benchmark (6 confusable ellipsoid classes, 50% clutter)",
+        "",
+        f"600 train / 180 test clouds, 256→{args.num_point} pts, batch 24, "
+        f"{args.epochs} epochs, 1-vote eval.  BGA rows see the fg/bg mask "
+        "supervision; plain rows do not.  Accuracies are the regression "
+        "signal — they separate by family (unlike the easy fixture where "
+        "everything hits 1.000).",
+        "",
+        "| Model | dtype | BGA | accuracy | seg acc | wall |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        seg = f"{r['seg_accuracy']:.3f}" if r["seg_accuracy"] >= 0 else "—"
+        lines.append(
+            f"| {r['model']} | {r['dtype']} | {'yes' if r['bga'] else 'no'} "
+            f"| {r['accuracy']:.3f} | {seg} | {r['wall_sec']}s |"
+        )
+    table = "\n".join(lines) + "\n"
+    with open(args.output, "w") as f:
+        f.write(table)
+    with open(args.json_out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(table)
+    print(f"wrote {args.output} and {args.json_out}")
+
+
+if __name__ == "__main__":
+    main()

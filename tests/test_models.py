@@ -142,3 +142,51 @@ def test_bga_loss_weighting():
     t1, m1 = loss_fn(outputs, batch, seg_weight=1.0)
     np.testing.assert_allclose(float(t0), float(m0["classify_loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(t1), float(m1["seg_loss"]), rtol=1e-5)
+
+
+class TestLiftedGroupMLP:
+    """The lifted-first-Dense MSG path must equal the gather-then-MLP
+    formulation with the SAME parameters (exact linear refactoring), for
+    both the with-features and xyz-only cases."""
+
+    def _check(self, with_feats):
+        import numpy as np
+
+        from scanobjectnn_tpu import ops
+        from scanobjectnn_tpu.nn.layers import MLP
+        from scanobjectnn_tpu.nn.pointnet_modules import LiftedGroupMLP
+        from scanobjectnn_tpu.ops.pallas.edge_kernel import gather_neighbors
+
+        rng = np.random.RandomState(0)
+        xyz = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        new_xyz = xyz[:, :16]
+        feats = (
+            jnp.asarray(rng.randn(2, 64, 11).astype(np.float32))
+            if with_feats else None
+        )
+        grouped_xyz, idx, _ = ops.query_ball_group(0.8, 8, xyz, new_xyz)
+
+        mod = LiftedGroupMLP((10, 12), xyz_first=False)
+        key = jax.random.PRNGKey(0)
+        variables = mod.init(key, feats, xyz, new_xyz, idx, train=False)
+
+        got = mod.apply(variables, feats, xyz, new_xyz, idx, train=False)
+
+        # Old-style: gather, concat, MLP — same params work because the
+        # trees match (dense_i / bn_i).
+        if with_feats:
+            grouped = jnp.concatenate(
+                [gather_neighbors(feats, idx), grouped_xyz], axis=-1
+            )
+        else:
+            grouped = grouped_xyz
+        want = MLP((10, 12)).apply(variables, grouped, train=False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+    def test_with_features(self):
+        self._check(True)
+
+    def test_xyz_only(self):
+        self._check(False)
