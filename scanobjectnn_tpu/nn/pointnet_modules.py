@@ -247,11 +247,16 @@ class SAModuleMSG(nn.Module):
     ):
         fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.gather_point(xyz, fps_idx)
+        # All scales query the same (xyz, new_xyz) pair (see
+        # ops.query_ball_group_multi for the measured fusion story).
+        groups = ops.query_ball_group_multi(
+            self.radius_list, self.nsample_list, xyz, new_xyz
+        )
         scale_feats = []
         for i, (radius, nsample, mlp) in enumerate(
             zip(self.radius_list, self.nsample_list, self.mlp_list)
         ):
-            grouped_xyz, idx, _ = ops.query_ball_group(radius, nsample, xyz, new_xyz)
+            grouped_xyz, idx, _ = groups[i]
             if (
                 points is not None
                 and self.use_xyz

@@ -19,6 +19,7 @@ from scanobjectnn_tpu.ops.grouping import (
     pairwise_squared_distance,
     query_ball_point,
     query_ball_group,
+    query_ball_group_multi,
     group_point,
     knn_point,
     knn_graph,
@@ -34,6 +35,7 @@ __all__ = [
     "pairwise_squared_distance",
     "query_ball_point",
     "query_ball_group",
+    "query_ball_group_multi",
     "group_point",
     "knn_point",
     "knn_graph",

@@ -236,3 +236,22 @@ def query_ball_group(
     idx, cnt = query_ball_point(radius, nsample, xyz, new_xyz)
     grouped = group_point(xyz, idx) - new_xyz[:, :, None, :]
     return grouped, idx, cnt
+
+
+def query_ball_group_multi(
+    radii, nsamples, xyz: jnp.ndarray, new_xyz: jnp.ndarray
+):
+    """Multi-radius ball query + centered grouping (the MSG module's scales,
+    ref pointnet_util.py:156): per-radius query_ball_group calls.
+
+    A fully-fused multi-radius Pallas kernel (one shared distance
+    computation + input load for all radii) was built and MEASURED A WASH
+    in round 3 (6.12 vs 6.01 ms for both MSG layers' 6 groups at B16
+    N1024, and ~10x the Mosaic compile time: 586 s for the MSG train
+    step) — the shared d2 is a small fraction of the per-radius rank/slot
+    work, so sharing it buys nothing.  Removed; see docs/KERNELS.md.
+    Returns a tuple of (grouped_xyz, idx, pts_cnt) per radius, each
+    identical to the single-radius op."""
+    return tuple(
+        query_ball_group(r, ns, xyz, new_xyz) for r, ns in zip(radii, nsamples)
+    )

@@ -110,40 +110,16 @@ def query_ball_pallas(
     return idx, cnt[..., 0]
 
 
-def _ball_group_kernel(
-    xyz_ref, new_xyz_ref, split_ref, tri_ref, idx_ref, cnt_ref,
-    gx_ref, gy_ref, gz_ref, gxs_ref, gys_ref, gzs_ref, cs_ref,
-    *, radius, nsample
+def _emit_radius(
+    d2, radius, nsample, split, tri, qx, qy, qz, x, y, z,
+    idx_ref, cnt_ref, gx_ref, gy_ref, gz_ref, gxs_ref, gys_ref, gzs_ref, cs_ref,
 ):
-    # Like _ball_kernel, but also emits centered grouped coordinates as three
-    # [1, T, K] outputs (a single [T, K, 3] block would pad 3 lanes to 128 —
-    # 42x VMEM waste; the host-side stack to [B, M, K, 3] is one cheap copy).
-    #
-    # Selection is RANK-based, not sequential min-extraction: the hit cumsum
-    # (each hit's 1-based position among the row's hits, in original point
-    # order) is computed with block-triangular bf16 matmuls (values <= 256
-    # per block are exact in bf16, block offsets exact in f32), after which
-    # the K slot extractions are INDEPENDENT — slot k's one-hot is just
-    # (rank == k+1) — so there is no serial K-round dependency chain, ~2 VPU
-    # passes per slot, and both the coordinates AND the column index come out
-    # of one one-hot matmul per slot against the packed bf16 split
-    # (split_ref [N, 16]: x0 y0 z0 x1 y1 z1 x2 y2 z2 c0 c1; the 3-term
-    # coordinate split and 2-term column split reconstruct f32 bit-exactly,
-    # the onehot.py convention).
-    #
-    # MXU roofline note (measured round 3): the K slot matmuls run at the
-    # MXU tile-step rate (~20.6 cycles per [128,128] step, i.e. peak) — the
-    # extraction is MXU-throughput-bound at K·N/128 steps per query tile, so
-    # further speedup requires algorithmically fewer contraction steps, not
-    # scheduling.  See BENCHMARKS.md.
-    x = xyz_ref[0, 0, :][None, :]
-    y = xyz_ref[0, 1, :][None, :]
-    z = xyz_ref[0, 2, :][None, :]
-    q = new_xyz_ref[0]
-    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
-
+    """Tail of the ball-group kernel: hit mask, rank cumsum, independent
+    slot extraction, padding, and output stores, given the precomputed
+    squared distances.  (A fused multi-radius variant sharing ``d2`` across
+    the MSG scales measured a WASH at 10x the compile time — removed,
+    numbers in ops/grouping.query_ball_group_multi and docs/KERNELS.md.)"""
     n = x.shape[-1]
-    d2 = (qx - x) ** 2 + (qy - y) ** 2 + (qz - z) ** 2
     # No sqrt: max(sqrt(d2), 1e-20) < radius  ⇔  d2 < radius² for any
     # radius > 1e-20 (sqrt is monotone; the clamp only moves d2 < 1e-40,
     # still a hit).  Exact-parity measured vs the sqrt form.
@@ -151,9 +127,6 @@ def _ball_group_kernel(
 
     cnt_total = jnp.sum(hit.astype(jnp.int32), axis=1)
     cnt_ref[0, :, 0] = jnp.minimum(cnt_total, nsample).astype(jnp.int32)
-
-    split = split_ref[0]  # [N, L] bf16
-    tri = tri_ref[...]  # [W, W] bf16 upper-triangular inclusive
 
     # rank[t, i] = #hits at columns <= i (inclusive cumsum of hit): one
     # INDEPENDENT [T, W] @ [W, W] bf16 matmul per block (values <= 256 per
@@ -170,7 +143,7 @@ def _ball_group_kernel(
         for j in range(n // w)
     ]
     blocks = []
-    base = jnp.zeros((q.shape[0], 1), jnp.float32)
+    base = jnp.zeros((qx.shape[0], 1), jnp.float32)
     for j in range(n // w):
         blocks.append(cjs[j] + base)
         base = base + cjs[j][:, w - 1 : w]
@@ -254,32 +227,57 @@ def _ball_group_kernel(
     gz_ref[0, :, :] = jnp.where(valid, gz_a, fz[:, None]) - qz
 
 
-def _qbg_call(radius, nsample, xyz, new_xyz, interpret):
-    """pallas_call plumbing for the ball-group kernel.
+def _ball_group_kernel(
+    xyz_ref, new_xyz_ref, split_ref, tri_ref, idx_ref, cnt_ref,
+    gx_ref, gy_ref, gz_ref, gxs_ref, gys_ref, gzs_ref, cs_ref,
+    *, radius, nsample
+):
+    # Like _ball_kernel, but also emits centered grouped coordinates as three
+    # [1, T, K] outputs (a single [T, K, 3] block would pad 3 lanes to 128 —
+    # 42x VMEM waste; the host-side stack to [B, M, K, 3] is one cheap copy).
+    #
+    # Selection is RANK-based, not sequential min-extraction: the hit cumsum
+    # (each hit's 1-based position among the row's hits, in original point
+    # order) is computed with block-triangular bf16 matmuls (values <= 256
+    # per block are exact in bf16, block offsets exact in f32), after which
+    # the K slot extractions are INDEPENDENT — slot k's one-hot is just
+    # (rank == k+1) — so there is no serial K-round dependency chain, ~2 VPU
+    # passes per slot, and both the coordinates AND the column index come out
+    # of one one-hot matmul per slot against the packed bf16 split
+    # (split_ref [N, 16]: x0 y0 z0 x1 y1 z1 x2 y2 z2 c0 c1; the 3-term
+    # coordinate split and 2-term column split reconstruct f32 bit-exactly,
+    # the onehot.py convention).
+    #
+    # MXU roofline note (measured round 3): the K slot matmuls run at the
+    # MXU tile-step rate (~20.6 cycles per [128,128] step, i.e. peak) — the
+    # extraction is MXU-throughput-bound at K·N/128 steps per query tile, so
+    # further speedup requires algorithmically fewer contraction steps, not
+    # scheduling.  See BENCHMARKS.md.
+    x = xyz_ref[0, 0, :][None, :]
+    y = xyz_ref[0, 1, :][None, :]
+    z = xyz_ref[0, 2, :][None, :]
+    q = new_xyz_ref[0]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
 
-    NOTE round-3 negative result: a feature-fused variant (feature lanes
-    packed beside the coordinate split, grouped features emitted from the
-    same per-slot matmuls) measured SLOWER than this kernel + the separate
-    gather_neighbors at SA2 shapes (7.7-8.7 vs 5.8 ms at B=128 N512 M128
-    K64 C128 bf16): the widened split costs a second MXU output tile per
-    slot matmul and the per-slot padding selects add VPU passes.  Removed;
-    numbers in docs/KERNELS.md."""
-    b, n, _ = xyz.shape
-    m = new_xyz.shape[1]
-    tile = m
-    for cand in (128, 64, 32, 16, 8, 4, 2, 1):  # t256 measured no faster, uses 2x VMEM
-        if m % cand == 0:
-            tile = cand
-            break
-    xyz_f = xyz.astype(jnp.float32)
-    xyz_t = jnp.transpose(xyz_f, (0, 2, 1))
-    # 3-term bf16 split of the coordinates + 2-term split of the column
-    # index, packed [B, N, L] (x0 y0 z0 x1 y1 z1 x2 y2 z2 c0 c1 + 5 zero
-    # lanes, then the feature terms): the in-kernel one-hot matmuls against
-    # this reconstruct the f32 coordinates and the integer column bit-exactly.
-    # MUST round via lax.reduce_precision: under jit XLA's excess-precision
-    # rule folds f32->bf16->f32 convert chains to identity, which silently
-    # zeroes the residual terms (measured: bf16-level 7.6e-3 error).
+    d2 = (qx - x) ** 2 + (qy - y) ** 2 + (qz - z) ** 2
+    _emit_radius(
+        d2, radius, nsample, split_ref[0], tri_ref[...], qx, qy, qz, x, y, z,
+        idx_ref, cnt_ref, gx_ref, gy_ref, gz_ref,
+        gxs_ref, gys_ref, gzs_ref, cs_ref,
+    )
+
+
+def _split_and_tri(xyz_f, b, n):
+    """Packed bf16 split of coordinates + column index, and the
+    block-triangular cumsum matrix — the ball-group kernel's static inputs.
+
+    3-term bf16 split of the coordinates + 2-term split of the column
+    index, packed [B, N, 16] (x0 y0 z0 x1 y1 z1 x2 y2 z2 c0 c1 + 5 zero
+    lanes): the in-kernel one-hot matmuls against this reconstruct the f32
+    coordinates and the integer column bit-exactly.  MUST round via
+    lax.reduce_precision: under jit XLA's excess-precision rule folds
+    f32->bf16->f32 convert chains to identity, which silently zeroes the
+    residual terms (measured: bf16-level 7.6e-3 error)."""
     h0 = jax.lax.reduce_precision(xyz_f, 8, 7)
     r1 = xyz_f - h0
     h1 = jax.lax.reduce_precision(r1, 8, 7)
@@ -306,6 +304,29 @@ def _qbg_call(radius, nsample, xyz, new_xyz, interpret):
         jnp.arange(w, dtype=jnp.int32)[:, None]
         <= jnp.arange(w, dtype=jnp.int32)[None, :]
     ).astype(jnp.bfloat16)
+    return split, tri, w
+
+
+def _qbg_call(radius, nsample, xyz, new_xyz, interpret):
+    """pallas_call plumbing for the ball-group kernel.
+
+    NOTE round-3 negative result: a feature-fused variant (feature lanes
+    packed beside the coordinate split, grouped features emitted from the
+    same per-slot matmuls) measured SLOWER than this kernel + the separate
+    gather_neighbors at SA2 shapes (7.7-8.7 vs 5.8 ms at B=128 N512 M128
+    K64 C128 bf16): the widened split costs a second MXU output tile per
+    slot matmul and the per-slot padding selects add VPU passes.  Removed;
+    numbers in docs/KERNELS.md."""
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    tile = m
+    for cand in (128, 64, 32, 16, 8, 4, 2, 1):  # t256 measured no faster, uses 2x VMEM
+        if m % cand == 0:
+            tile = cand
+            break
+    xyz_f = xyz.astype(jnp.float32)
+    xyz_t = jnp.transpose(xyz_f, (0, 2, 1))
+    split, tri, w = _split_and_tri(xyz_f, b, n)
     kernel = functools.partial(_ball_group_kernel, radius=radius, nsample=nsample)
     coord_spec = pl.BlockSpec(
         (1, tile, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM

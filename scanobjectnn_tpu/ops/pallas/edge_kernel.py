@@ -72,55 +72,86 @@ from scanobjectnn_tpu.ops.pallas.onehot import (  # noqa: F401  (re-exports)
 
 
 def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
-                cmax_ref, cmin_ref, idxt_ref, *maybe_gall, k: int, tile: int):
+                cmax_ref, cmin_ref, idxt_ref, *maybe_gall,
+                k: int, tile: int, grp: int):
     # maybe_gall holds the [B,k,N,Cv] saved-gather output only when the VJP
     # needs it; the primal-only (inference) variant omits the ref entirely so
     # no dead multi-GB HBM write happens (round-2 ADVICE finding).
+    #
+    # ``grp`` independent query-tile blocks are processed per program with
+    # their k extraction rounds INTERLEAVED: round r of block g has no
+    # dependency on round r of block g', so Mosaic can overlap one block's
+    # MXU gather with another's VPU argmin, filling the latency bubbles of
+    # the serially-dependent rounds (the round-2 latency floor: ~0.94 us per
+    # round measured vs ~0.5 us of actual VPU+MXU work).
     gall_ref = maybe_gall[0] if maybe_gall else None
     j = pl.program_id(1)
     feats = feats_ref[0]  # [N, Cf]
     cv = vals_ref[0].shape[-1]
     packed_vals = _bf16_pack(vals_ref[0])  # [N, terms*Cv]
-    q = feats_ref[0, pl.ds(j * tile, tile), :]  # [T, Cf]
-
-    qq = jnp.sum(q * q, axis=1, keepdims=True)
     kk = jnp.sum(feats * feats, axis=1)[None, :]
-    inner = lax.dot_general(
-        q, feats,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,  # bf16 would flip neighbor choices
-    )
-    d2 = jnp.maximum(qq - 2.0 * inner + kk, 0.0)  # [T, N]
 
-    col = lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
-    mmax = jnp.full((tile, cv), -jnp.inf, jnp.float32)
-    mmin = jnp.full((tile, cv), jnp.inf, jnp.float32)
-    s = jnp.zeros((tile, cv), jnp.float32)
-    q2 = jnp.zeros((tile, cv), jnp.float32)
-    cmax = jnp.zeros((tile, cv), jnp.float32)
-    cmin = jnp.zeros((tile, cv), jnp.float32)
+    d2s, cols = [], []
+    for g in range(grp):
+        q = feats_ref[0, pl.ds((j * grp + g) * tile, tile), :]  # [T, Cf]
+        qq = jnp.sum(q * q, axis=1, keepdims=True)
+        inner = lax.dot_general(
+            q, feats,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,  # bf16 would flip neighbor choices
+        )
+        d2s.append(jnp.maximum(qq - 2.0 * inner + kk, 0.0))  # [T, N]
+        cols.append(lax.broadcasted_iota(jnp.int32, d2s[-1].shape, dimension=1))
+
+    mmax = [jnp.full((tile, cv), -jnp.inf, jnp.float32) for _ in range(grp)]
+    mmin = [jnp.full((tile, cv), jnp.inf, jnp.float32) for _ in range(grp)]
+    s = [jnp.zeros((tile, cv), jnp.float32) for _ in range(grp)]
+    q2 = [jnp.zeros((tile, cv), jnp.float32) for _ in range(grp)]
+    cmax = [jnp.zeros((tile, cv), jnp.float32) for _ in range(grp)]
+    cmin = [jnp.zeros((tile, cv), jnp.float32) for _ in range(grp)]
     for r in range(k):
-        am = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [T]
-        onehot = col == am[:, None]
-        g = _split_matmul(onehot.astype(jnp.bfloat16), packed_vals, cv)  # [T, Cv]
-        cmax = jnp.where(g > mmax, 1.0, cmax + (g == mmax))
-        mmax = jnp.maximum(mmax, g)
-        cmin = jnp.where(g < mmin, 1.0, cmin + (g == mmin))
-        mmin = jnp.minimum(mmin, g)
-        s = s + g
-        q2 = q2 + g * g
-        idxt_ref[0, r, :] = am  # [k, T] layout: static sublane store
-        if gall_ref is not None:
-            gall_ref[0, r] = g  # saved for the batched-scatter backward
-        d2 = jnp.where(onehot, jnp.inf, d2)
+        for g in range(grp):
+            am = jnp.argmin(d2s[g], axis=1).astype(jnp.int32)  # [T]
+            onehot = cols[g] == am[:, None]
+            gat = _split_matmul(onehot.astype(jnp.bfloat16), packed_vals, cv)
+            cmax[g] = jnp.where(gat > mmax[g], 1.0, cmax[g] + (gat == mmax[g]))
+            mmax[g] = jnp.maximum(mmax[g], gat)
+            cmin[g] = jnp.where(gat < mmin[g], 1.0, cmin[g] + (gat == mmin[g]))
+            mmin[g] = jnp.minimum(mmin[g], gat)
+            s[g] = s[g] + gat
+            q2[g] = q2[g] + gat * gat
+            # [k, grp*T] layout: static sublane store
+            idxt_ref[0, r, g * tile:(g + 1) * tile] = am
+            if gall_ref is not None:
+                gall_ref[0, r, g * tile:(g + 1) * tile] = gat
+            d2s[g] = jnp.where(onehot, jnp.inf, d2s[g])
 
-    mmax_ref[0] = mmax
-    mmin_ref[0] = mmin
-    s_ref[0] = s
-    q2_ref[0] = q2
-    cmax_ref[0] = cmax
-    cmin_ref[0] = cmin
+    cat = jnp.concatenate
+    mmax_ref[0] = cat(mmax, axis=0)
+    mmin_ref[0] = cat(mmin, axis=0)
+    s_ref[0] = cat(s, axis=0)
+    q2_ref[0] = cat(q2, axis=0)
+    cmax_ref[0] = cat(cmax, axis=0)
+    cmin_ref[0] = cat(cmin, axis=0)
+
+
+def _pick_grp(n: int, tile: int) -> int:
+    """Query-tile blocks interleaved per program (see _fwd_kernel).
+
+    MEASURED NEGATIVE (round 3, v5e, B32 N1024 k20 C64): grp=2 runs
+    edge_reduce fwd 5.58 ms vs 4.07 at grp=1 (+37%) and edge_gather_knn
+    6.52 vs 4.74 — doubling the live [T, N] d2 buffers + accumulators costs
+    more in VMEM/scheduling pressure than the dependent-round latency it
+    hides.  The argmin chain is NOT issue-latency-bound at these shapes.
+    Default stays 1; the env knob remains for future shapes."""
+    import os
+
+    env = os.environ.get("SCANOBJECTNN_EDGE_GRP")
+    if env:
+        g = int(env)
+        return g if (n // tile) % g == 0 else 1
+    return 1
 
 
 def _edge_reduce_fwd_pallas(
@@ -129,23 +160,25 @@ def _edge_reduce_fwd_pallas(
     b, n, cf = feats.shape
     cv = vals.shape[-1]
     tile = _pick_tile(n)  # t256 measured SLOWER (5.5 vs 4.2 ms fwd)
-    kernel = functools.partial(_fwd_kernel, k=k, tile=tile)
-    tile_spec = pl.BlockSpec((1, tile, cv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    grp = _pick_grp(n, tile)
+    kernel = functools.partial(_fwd_kernel, k=k, tile=tile, grp=grp)
+    gt = grp * tile
+    tile_spec = pl.BlockSpec((1, gt, cv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     out_specs = [
         tile_spec, tile_spec, tile_spec, tile_spec, tile_spec, tile_spec,
-        pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k, gt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((b, n, cv), jnp.float32)] * 6 + [
         jax.ShapeDtypeStruct((b, k, n), jnp.int32),
     ]
     if save_gall:
         out_specs.append(
-            pl.BlockSpec((1, k, tile, cv), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, k, gt, cv), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((b, k, n, cv), jnp.float32))
     outs = pl.pallas_call(
         kernel,
-        grid=(b, n // tile),
+        grid=(b, n // gt),
         in_specs=[
             pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -324,46 +357,56 @@ def gather_neighbors(vals, idx):
 
 # ------------------------------------------------------- fused kNN + gather
 
-def _knn_gather_kernel(feats_ref, vals_ref, out_ref, idxt_ref, *, k: int, tile: int):
+def _knn_gather_kernel(feats_ref, vals_ref, out_ref, idxt_ref, *,
+                       k: int, tile: int, grp: int):
+    # Same grp-way query-tile interleave as _fwd_kernel: independent round
+    # chains fill the dependent-argmin latency bubbles.
     j = pl.program_id(1)
     feats = feats_ref[0]  # [N, Cf]
     cv = vals_ref[0].shape[-1]
     packed_vals = _bf16_pack(vals_ref[0])
-    q = feats_ref[0, pl.ds(j * tile, tile), :]
-
-    qq = jnp.sum(q * q, axis=1, keepdims=True)
     kk = jnp.sum(feats * feats, axis=1)[None, :]
-    inner = lax.dot_general(
-        q, feats,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
-    d2 = jnp.maximum(qq - 2.0 * inner + kk, 0.0)
 
-    col = lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
+    d2s, cols = [], []
+    for g in range(grp):
+        q = feats_ref[0, pl.ds((j * grp + g) * tile, tile), :]
+        qq = jnp.sum(q * q, axis=1, keepdims=True)
+        inner = lax.dot_general(
+            q, feats,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        d2s.append(jnp.maximum(qq - 2.0 * inner + kk, 0.0))
+        cols.append(lax.broadcasted_iota(jnp.int32, d2s[-1].shape, dimension=1))
+
     for r in range(k):
-        am = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        onehot = col == am[:, None]
-        out_ref[0, :, r, :] = _split_matmul(onehot.astype(jnp.bfloat16), packed_vals, cv)
-        idxt_ref[0, r, :] = am
-        d2 = jnp.where(onehot, jnp.inf, d2)
+        for g in range(grp):
+            am = jnp.argmin(d2s[g], axis=1).astype(jnp.int32)
+            onehot = cols[g] == am[:, None]
+            out_ref[0, g * tile:(g + 1) * tile, r, :] = _split_matmul(
+                onehot.astype(jnp.bfloat16), packed_vals, cv
+            )
+            idxt_ref[0, r, g * tile:(g + 1) * tile] = am
+            d2s[g] = jnp.where(onehot, jnp.inf, d2s[g])
 
 
 def _knn_gather_fwd(feats, vals, k: int, interpret: bool = False):
     b, n, cf = feats.shape
     cv = vals.shape[-1]
     tile = _pick_tile(n)
+    grp = _pick_grp(n, tile)
+    gt = grp * tile
     out, idxt = pl.pallas_call(
-        functools.partial(_knn_gather_kernel, k=k, tile=tile),
-        grid=(b, n // tile),
+        functools.partial(_knn_gather_kernel, k=k, tile=tile, grp=grp),
+        grid=(b, n // gt),
         in_specs=[
             pl.BlockSpec((1, n, cf), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile, k, cv), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt, k, cv), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, gt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, k, cv), jnp.float32),

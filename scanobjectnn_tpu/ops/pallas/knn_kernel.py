@@ -29,30 +29,36 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["knn_graph_pallas"]
 
 
-def _knn_kernel(feats_ref, idx_ref, *, k: int, tile: int):
-    # feats_ref: [1, N, C] (whole cloud); idx_ref: [1, T, k] for this tile.
+def _knn_kernel(feats_ref, idx_ref, *, k: int, tile: int, grp: int):
+    # feats_ref: [1, N, C] (whole cloud); idx_ref: [1, grp*T, k].  ``grp``
+    # independent query tiles are processed with their k argmin rounds
+    # interleaved — round r of tile g has no dependency on tile g', filling
+    # the dependent-round latency bubbles (see edge_kernel._fwd_kernel).
     j = pl.program_id(1)
     feats = feats_ref[0]  # [N, C]
-    q = feats_ref[0, pl.ds(j * tile, tile), :]  # [T, C]
-
-    qq = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
     kk = jnp.sum(feats * feats, axis=1)[None, :]  # [1, N]
-    inner = jax.lax.dot_general(
-        q, feats,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # MXU f32 passes — bf16 flips neighbors
-    )  # [T, N]
-    d2 = jnp.maximum(qq - 2.0 * inner + kk, 0.0)  # match lax path's clamp
 
-    n = d2.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
-    cols = []
+    d2s, cols = [], []
+    for g in range(grp):
+        q = feats_ref[0, pl.ds((j * grp + g) * tile, tile), :]  # [T, C]
+        qq = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
+        inner = jax.lax.dot_general(
+            q, feats,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # f32 MXU — bf16 flips neighbors
+        )  # [T, N]
+        d2s.append(jnp.maximum(qq - 2.0 * inner + kk, 0.0))
+        cols.append(jax.lax.broadcasted_iota(jnp.int32, d2s[-1].shape, dimension=1))
+
+    outs = [[] for _ in range(grp)]
     for _ in range(k):
-        am = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [T]
-        cols.append(am)
-        d2 = jnp.where(col == am[:, None], jnp.inf, d2)
-    idx_ref[0, :, :] = jnp.stack(cols, axis=1)
+        for g in range(grp):
+            am = jnp.argmin(d2s[g], axis=1).astype(jnp.int32)  # [T]
+            outs[g].append(am)
+            d2s[g] = jnp.where(cols[g] == am[:, None], jnp.inf, d2s[g])
+    for g in range(grp):
+        idx_ref[0, g * tile:(g + 1) * tile, :] = jnp.stack(outs[g], axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -66,15 +72,18 @@ def knn_graph_pallas(
         if n % cand == 0:
             tile = cand
             break
-    kernel = functools.partial(_knn_kernel, k=k, tile=tile)
+    # grp-interleave measured a wash for the self-kNN kernel (4.66 vs
+    # 4.68 ms at B32 N1024 k20 C64) — keep 1 for the halved unroll/compile.
+    grp = 1
+    kernel = functools.partial(_knn_kernel, k=k, tile=tile, grp=grp)
     idx = pl.pallas_call(
         kernel,
-        grid=(b, n // tile),
+        grid=(b, n // (grp * tile)),
         in_specs=[
             pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, grp * tile, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.int32),
         interpret=interpret,
@@ -131,31 +140,40 @@ def duplicate_mask_pallas(
     return dup.reshape(b, n)
 
 
-def _knn_general_kernel(q_ref, keys_ref, bias_ref, dist_ref, idx_ref, *, k: int):
-    # q_ref: [1, T, C] query tile; keys_ref: [1, N, C]; bias_ref: [1, 1, N]
-    # per-key additive distance bias (duplicate suppression); outputs [1, T, k].
-    q = q_ref[0]  # [T, C]
+def _knn_general_kernel(q_ref, keys_ref, bias_ref, dist_ref, idx_ref, *,
+                        k: int, tile: int, grp: int):
+    # q_ref: [1, grp*T, C] query tiles; keys_ref: [1, N, C]; bias_ref:
+    # [1, 1, N] per-key additive distance bias (duplicate suppression);
+    # outputs [1, grp*T, k].  grp-way interleave as in _knn_kernel.
     keys = keys_ref[0]  # [N, C]
-    qq = jnp.sum(q * q, axis=1, keepdims=True)
     kk = jnp.sum(keys * keys, axis=1)[None, :]
-    inner = jax.lax.dot_general(
-        q, keys,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d2 = jnp.maximum(qq - 2.0 * inner + kk, 0.0)  # match lax path's clamp
-    d2 = d2 + bias_ref[0]  # [1, N] broadcasts over the tile
+    bias = bias_ref[0]  # [1, N]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
-    idx_cols, dist_cols = [], []
+    d2s, cols = [], []
+    for g in range(grp):
+        q = q_ref[0, g * tile:(g + 1) * tile, :]  # [T, C]
+        qq = jnp.sum(q * q, axis=1, keepdims=True)
+        inner = jax.lax.dot_general(
+            q, keys,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2s.append(jnp.maximum(qq - 2.0 * inner + kk, 0.0) + bias)
+        cols.append(jax.lax.broadcasted_iota(jnp.int32, d2s[-1].shape, dimension=1))
+
+    idx_cols = [[] for _ in range(grp)]
+    dist_cols = [[] for _ in range(grp)]
     for _ in range(k):
-        am = jnp.argmin(d2, axis=1).astype(jnp.int32)  # [T]
-        dist_cols.append(jnp.min(d2, axis=1))
-        idx_cols.append(am)
-        d2 = jnp.where(col == am[:, None], jnp.inf, d2)
-    dist_ref[0, :, :] = jnp.stack(dist_cols, axis=1)
-    idx_ref[0, :, :] = jnp.stack(idx_cols, axis=1)
+        for g in range(grp):
+            am = jnp.argmin(d2s[g], axis=1).astype(jnp.int32)  # [T]
+            dist_cols[g].append(jnp.min(d2s[g], axis=1))
+            idx_cols[g].append(am)
+            d2s[g] = jnp.where(cols[g] == am[:, None], jnp.inf, d2s[g])
+    for g in range(grp):
+        rows = slice(g * tile, (g + 1) * tile)
+        dist_ref[0, rows, :] = jnp.stack(dist_cols[g], axis=1)
+        idx_ref[0, rows, :] = jnp.stack(idx_cols[g], axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -183,13 +201,15 @@ def knn_point_pallas(
             break
     if bias is None:
         bias = jnp.zeros((b, n), jnp.float32)
-    kernel = functools.partial(_knn_general_kernel, k=k)
-    out_spec = pl.BlockSpec((1, tile, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    grp = 1  # see knn_graph_pallas: interleave measured a wash
+    gt = grp * tile
+    kernel = functools.partial(_knn_general_kernel, k=k, tile=tile, grp=grp)
+    out_spec = pl.BlockSpec((1, gt, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     dist, idx = pl.pallas_call(
         kernel,
-        grid=(b, m // tile),
+        grid=(b, m // gt),
         in_specs=[
-            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],

@@ -266,6 +266,23 @@ class TestBallQueryPallas:
         )
         np.testing.assert_allclose(np.asarray(grouped), want_grouped, atol=1e-6)
 
+    def test_multi_radius_matches_single(self, rng):
+        # The MSG-facing multi-radius op must emit per-radius results
+        # IDENTICAL to the single-radius op (a fused shared-distance kernel
+        # measured a wash and was removed — the dispatcher contract stays).
+        from scanobjectnn_tpu import ops
+
+        xyz = jnp.asarray(_cloud(rng, b=2, n=128))
+        centers = xyz[:, :32]
+        radii, nsamples = (0.2, 0.4, 0.8), (8, 16, 80)
+        multi = ops.query_ball_group_multi(radii, nsamples, xyz, centers)
+        for i, (r, ns) in enumerate(zip(radii, nsamples)):
+            g1, i1, c1 = ops.query_ball_group(r, ns, xyz, centers)
+            g2, i2, c2 = multi[i]
+            np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+            np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+            np.testing.assert_array_equal(np.asarray(g2), np.asarray(g1))
+
 
 class TestKNNPallas:
     def test_matches_lax(self, rng):
