@@ -15,10 +15,14 @@ contemporaneous single GPU at 2048 pts: ~125 clouds/s (the original
 PointNet++ paper reports ~12ms/cloud fwd at 1024 pts on a GTX1080 ≈ 80-160
 clouds/s batched; 2048 pts roughly halves it; we take 125).
 
-Roofline method: XLA's compiled cost analysis supplies the program's total
-FLOPs and bytes accessed; dividing by measured wall time gives achieved
-TFLOP/s and GB/s, compared against TPU v5e peaks (197 TFLOP/s bf16,
-819 GB/s HBM).  The resource with the higher utilization is what binds.
+Roofline method: model-useful FLOPs are counted ANALYTICALLY from the layer
+dimensions (the conv/dense matmuls the reference stack performs) — XLA's
+compiled cost analysis cannot see inside Pallas custom calls, so once the
+SA stack is a fused kernel its FLOPs vanish from the compiled count and the
+MFU would read misleadingly low.  Bytes come from cost analysis (Pallas
+operands/results are counted as custom-call operands, so the number tracks
+real HBM traffic).  Dividing by measured wall time gives achieved TFLOP/s
+and GB/s vs TPU v5e peaks (197 TFLOP/s bf16, 819 GB/s HBM).
 """
 
 import json
@@ -41,6 +45,19 @@ NUM_POINT = 2048
 # TPU v5e single-chip peaks (public spec: 197 bf16 TFLOP/s, 819 GB/s HBM).
 PEAK_FLOPS = 197e12
 PEAK_HBM_BPS = 819e9
+
+
+def _analytic_model_flops(batch: int) -> float:
+    """Model-useful FLOPs per batch of the pointnet2_cls_ssg forward at 2048
+    points (pointnet2/models/pointnet2_cls_ssg.py:20-34 layer dims): the
+    SA MLP matmuls + the classifier head, 2 FLOPs per MAC.  One-hot
+    gather/selection matmuls are implementation overhead and deliberately
+    NOT counted (MFU measures useful work, not MXU busyness)."""
+    sa1 = 512 * 32 * (3 * 64 + 64 * 64 + 64 * 128)
+    sa2 = 128 * 64 * (131 * 128 + 128 * 128 + 128 * 256)
+    sa3 = 128 * (259 * 256 + 256 * 512 + 512 * 1024)  # group_all over 128 pts
+    head = 1024 * 512 + 512 * 256 + 256 * 15
+    return 2.0 * batch * (sa1 + sa2 + sa3 + head)
 
 
 def _cost_analysis(compiled) -> dict:
@@ -159,7 +176,8 @@ def main() -> None:
         "phase_ms": phases,
     }
 
-    flops = float(ca.get("flops", 0.0))
+    flops = _analytic_model_flops(BATCH)
+    flops_xla = float(ca.get("flops", 0.0))  # excludes Pallas kernel internals
     bytes_accessed = float(ca.get("bytes accessed", 0.0))
     if flops > 0 and bytes_accessed > 0:
         secs_per_iter = dt / n_iters
@@ -173,6 +191,7 @@ def main() -> None:
             achieved_tflops=round(achieved_flops / 1e12, 2),
             achieved_gbps=round(achieved_bps / 1e9, 1),
             flops_per_batch=flops,
+            flops_xla_visible=flops_xla,
             bytes_per_batch=bytes_accessed,
             # "bound" only names a resource when it actually SATURATES
             # (>60% of peak); otherwise the program is bound by neither —

@@ -34,6 +34,22 @@ __all__ = [
 ]
 
 
+def _fused_sa_eval_mode() -> str | None:
+    """Dispatch gate for the fused eval-time SA kernel: "tpu" (compiled),
+    "interpret" (forced, for CPU parity tests), or None (unfused).
+    Override with SCANOBJECTNN_FUSED_SA_EVAL=interpret|0."""
+    import os
+
+    env = os.environ.get("SCANOBJECTNN_FUSED_SA_EVAL")
+    if env == "interpret":
+        return "interpret"
+    if env == "0":
+        return None
+    from scanobjectnn_tpu.ops.fps import _use_pallas
+
+    return "tpu" if _use_pallas() else None
+
+
 def sample_and_group(
     npoint: int,
     radius: float,
@@ -121,6 +137,55 @@ class SAModule(nn.Module):
         train: bool = False,
         bn_momentum=0.9,
     ):
+        # Eval-time fused path: gather + folded-BN MLP + max-pool in one
+        # Pallas kernel (no [B, M, K, C] inter-layer HBM round trips —
+        # measured ~11 ms of the B=128 headline forward in the unfused
+        # form).  Training keeps the unfused path (BN needs batch stats
+        # over the whole grouped set); init must run it to create params.
+        if (
+            not train
+            and not self.is_initializing()
+            and self.pooling == "max"
+            and not self.group_all
+            and _fused_sa_eval_mode() is not None
+            and self.npoint % 8 == 0
+            and xyz.shape[1] % 8 == 0
+        ):
+            from scanobjectnn_tpu.ops.pallas.samlp_kernel import (
+                fold_bn_mlp_params,
+                sa_mlp_pool,
+            )
+
+            fps_idx = ops.farthest_point_sample(xyz, self.npoint)
+            new_xyz = ops.gather_point(xyz, fps_idx)
+            if self.knn:
+                _, idx = ops.knn_point(self.nsample, xyz, new_xyz)
+                grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
+            else:
+                grouped_xyz, idx, _ = ops.query_ball_group(
+                    self.radius, self.nsample, xyz, new_xyz
+                )
+            weights, biases = fold_bn_mlp_params(
+                self.variables["params"]["mlp"],
+                self.variables["batch_stats"]["mlp"] if self.bn else None,
+                n_layers=len(self.mlp),
+            )
+            pooled = sa_mlp_pool(
+                grouped_xyz if self.use_xyz or points is None else None,
+                idx if points is not None else None,
+                points,
+                weights,
+                biases,
+                dtype=self.dtype or xyz.dtype,
+                interpret=_fused_sa_eval_mode() == "interpret",
+            )
+            if self.mlp2:
+                pooled = MLP(
+                    self.mlp2, bn=self.bn, dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name, name="mlp2",
+                )(pooled, train=train, bn_momentum=bn_momentum)
+            return new_xyz, pooled, idx
+
         if self.group_all:
             new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
                 xyz, points, self.use_xyz

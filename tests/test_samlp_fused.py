@@ -1,0 +1,126 @@
+"""Fused eval-time SA layer parity: the Pallas gather+folded-BN-MLP+max-pool
+kernel (ops/pallas/samlp_kernel.py) must reproduce the unfused
+gather → MLP → max dataflow (ref pointnet_util.py:87-154) in eval mode.
+
+Runs the kernel in interpret mode (CPU); the module dispatch is driven
+through the SCANOBJECTNN_FUSED_SA_EVAL env override so the exact production
+code path (SAModule.__call__ fused branch) is what's tested.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scanobjectnn_tpu.nn.pointnet_modules import SAModule
+
+
+def _cloud(rng, b=2, n=256, c=0):
+    xyz = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.5)
+    pts = (
+        jnp.asarray(rng.randn(b, n, c).astype(np.float32)) if c else None
+    )
+    return xyz, pts
+
+
+def _run_both(monkeypatch, module, xyz, points, seed=0):
+    """Init once, then eval-apply unfused and fused-interpret."""
+    variables = module.init(
+        jax.random.PRNGKey(seed), xyz, points, train=False
+    )
+    monkeypatch.setenv("SCANOBJECTNN_FUSED_SA_EVAL", "0")
+    ref = module.apply(variables, xyz, points, train=False)
+    monkeypatch.setenv("SCANOBJECTNN_FUSED_SA_EVAL", "interpret")
+    got = module.apply(variables, xyz, points, train=False)
+    return ref, got
+
+
+def _trained_stats(variables, rng):
+    """Replace the init-default BN running stats (mean 0 / var 1 make the
+    fold a no-op on the mean term) with random ones so the fold is actually
+    exercised."""
+    stats = jax.tree.map(
+        lambda v: jnp.asarray(
+            0.5 + 0.3 * np.abs(rng.randn(*v.shape)), jnp.float32
+        ),
+        variables["batch_stats"],
+    )
+    return {**variables, "batch_stats": stats}
+
+
+class TestFusedSAEval:
+    def test_sa1_xyz_only(self, rng, monkeypatch):
+        xyz, _ = _cloud(rng, b=2, n=256)
+        m = SAModule(npoint=64, radius=0.4, nsample=16, mlp=(16, 16, 32))
+        ref, got = _run_both(monkeypatch, m, xyz, None)
+        np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(got[2]))
+        np.testing.assert_allclose(
+            np.asarray(ref[1]), np.asarray(got[1]), rtol=2e-4, atol=2e-5
+        )
+
+    def test_sa2_with_features_and_fold(self, rng, monkeypatch):
+        xyz, pts = _cloud(rng, b=2, n=128, c=24)
+        m = SAModule(npoint=32, radius=0.6, nsample=8, mlp=(32, 48))
+        variables = m.init(jax.random.PRNGKey(1), xyz, pts, train=False)
+        variables = _trained_stats(variables, rng)
+        monkeypatch.setenv("SCANOBJECTNN_FUSED_SA_EVAL", "0")
+        ref = m.apply(variables, xyz, pts, train=False)
+        monkeypatch.setenv("SCANOBJECTNN_FUSED_SA_EVAL", "interpret")
+        got = m.apply(variables, xyz, pts, train=False)
+        np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(got[2]))
+        np.testing.assert_allclose(
+            np.asarray(ref[1]), np.asarray(got[1]), rtol=2e-4, atol=2e-5
+        )
+
+    def test_no_xyz_concat(self, rng, monkeypatch):
+        xyz, pts = _cloud(rng, b=1, n=128, c=16)
+        m = SAModule(
+            npoint=32, radius=0.6, nsample=8, mlp=(16, 16), use_xyz=False
+        )
+        ref, got = _run_both(monkeypatch, m, xyz, pts)
+        np.testing.assert_allclose(
+            np.asarray(ref[1]), np.asarray(got[1]), rtol=2e-4, atol=2e-5
+        )
+
+    def test_knn_grouping(self, rng, monkeypatch):
+        xyz, pts = _cloud(rng, b=1, n=128, c=8)
+        m = SAModule(npoint=32, radius=None, nsample=8, mlp=(16, 32), knn=True)
+        ref, got = _run_both(monkeypatch, m, xyz, pts)
+        np.testing.assert_allclose(
+            np.asarray(ref[1]), np.asarray(got[1]), rtol=2e-4, atol=2e-5
+        )
+
+    def test_mlp2_tail(self, rng, monkeypatch):
+        xyz, _ = _cloud(rng, b=1, n=128)
+        m = SAModule(
+            npoint=32, radius=0.5, nsample=8, mlp=(16, 16), mlp2=(32,)
+        )
+        ref, got = _run_both(monkeypatch, m, xyz, None)
+        np.testing.assert_allclose(
+            np.asarray(ref[1]), np.asarray(got[1]), rtol=2e-4, atol=2e-5
+        )
+
+    def test_no_bn(self, rng, monkeypatch):
+        xyz, _ = _cloud(rng, b=1, n=128)
+        m = SAModule(npoint=32, radius=0.5, nsample=8, mlp=(16, 16), bn=False)
+        ref, got = _run_both(monkeypatch, m, xyz, None)
+        np.testing.assert_allclose(
+            np.asarray(ref[1]), np.asarray(got[1]), rtol=2e-4, atol=2e-5
+        )
+
+    def test_train_mode_keeps_unfused(self, rng, monkeypatch):
+        """Training must NOT dispatch to the fused kernel (BN batch stats)."""
+        xyz, _ = _cloud(rng, b=1, n=128)
+        m = SAModule(npoint=32, radius=0.5, nsample=8, mlp=(16, 16))
+        variables = m.init(jax.random.PRNGKey(0), xyz, None, train=False)
+        monkeypatch.setenv("SCANOBJECTNN_FUSED_SA_EVAL", "interpret")
+        out, mut = m.apply(
+            variables, xyz, None, train=True, mutable=["batch_stats"]
+        )
+        # train path updates running stats -> proves the unfused branch ran
+        stats = jax.tree.leaves(mut["batch_stats"])
+        init_stats = jax.tree.leaves(variables["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(stats, init_stats)
+        )
