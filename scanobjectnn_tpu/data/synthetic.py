@@ -159,7 +159,7 @@ def make_hard_synthetic_dataset(
     regression).  Here:
 
       * classes are ellipsoids with distinct-but-confusable axis-ratio
-        triples under per-sample ±6% anisotropic scale jitter — the class
+        triples under per-sample ±10% anisotropic scale jitter — the class
         signal sits just above the jitter noise;
       * ``clutter_frac`` of each cloud is uniform clutter in a 2× larger
         ball with mask −1 (the h5 background convention), burying the
@@ -170,16 +170,19 @@ def make_hard_synthetic_dataset(
     pooled features.  Returns (points[B,N,3] f32, labels[B] i64,
     masks[B,N] i64 with −1 = clutter).
     """
-    # Axis-ratio prototypes: distinct but confusable under jitter+clutter.
+    # Axis-ratio prototypes: a 3x2 grid (axis-2 x axis-3) with gaps ~1.8 sigma
+    # of the per-sample jitter — calibrated so plain-classifier accuracy
+    # lands well below 1.0 and separates by family (the round-2 probe at
+    # gaps ~0.15 / 6% jitter measured pointnet at 0.978: too easy).
     _PROTO_RATIOS = np.array([
-        [1.00, 0.85, 0.70],
-        [1.00, 0.55, 0.40],
-        [1.00, 1.00, 0.30],
-        [1.00, 0.40, 0.12],
-        [0.85, 0.85, 0.85],
-        [1.00, 0.70, 0.15],
-        [0.60, 0.60, 0.25],
-        [1.00, 0.25, 0.25],
+        [1.00, 0.85, 0.65],
+        [1.00, 0.85, 0.45],
+        [1.00, 0.72, 0.65],
+        [1.00, 0.72, 0.45],
+        [1.00, 0.59, 0.65],
+        [1.00, 0.59, 0.45],
+        [1.00, 0.46, 0.65],
+        [1.00, 0.46, 0.45],
     ])
     protos = [_PROTO_RATIOS[c % len(_PROTO_RATIOS)] for c in range(num_classes)]
     rng = np.random.RandomState(seed)
@@ -190,7 +193,7 @@ def make_hard_synthetic_dataset(
         for _ in range(num_per_class):
             v = rng.randn(n_fg, 3)
             v /= np.linalg.norm(v, axis=1, keepdims=True)
-            jitter = 1.0 + 0.06 * rng.randn(3)
+            jitter = 1.0 + 0.10 * rng.randn(3)
             fg = (v * protos[label] * jitter * 0.5).astype(np.float32)
             cl = rng.randn(n_clutter, 3)
             cl /= np.linalg.norm(cl, axis=1, keepdims=True)
