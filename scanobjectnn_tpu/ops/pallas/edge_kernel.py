@@ -229,32 +229,69 @@ def _er_fwd(feats, vals, k):
     return out, res
 
 
-def _er_bwd(k, res, cot):
-    from scanobjectnn_tpu.ops.pallas.onehot import _flat_scatter_impl
+def _er_bwd_kernel(idxk_ref, gall_ref, ds_ref, dq2_ref, dmax_ref, dmin_ref,
+                   cmax_ref, cmin_ref, mmax_ref, mmin_ref, out_ref):
+    # One program per (batch, kappa): the per-edge cotangent coeff is formed
+    # IN-KERNEL from the saved gather and the per-query cotangents — the
+    # earlier XLA formulation materialized the [B, k, N, Cv] coeff tensor in
+    # HBM (a 168 MB write + read at the DGCNN shape) before the scatter
+    # kernel re-read it.  Per-query aux blocks are kappa-invariant, so
+    # Mosaic fetches them once per batch element (kappa is the inner grid
+    # dim); dvals accumulates in the revisited output block.
+    kappa = pl.program_id(1)
 
+    @pl.when(kappa == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    gall = gall_ref[0, 0]  # [N, Cv] — bit-identical forward values
+    coeff = (
+        ds_ref[0]
+        + 2.0 * gall * dq2_ref[0]
+        + jnp.where(
+            gall == mmax_ref[0],
+            dmax_ref[0] / jnp.maximum(cmax_ref[0], 1.0), 0.0,
+        )
+        + jnp.where(
+            gall == mmin_ref[0],
+            dmin_ref[0] / jnp.maximum(cmin_ref[0], 1.0), 0.0,
+        )
+    )
+    n, cv = coeff.shape
+    idxk = idxk_ref[0, 0]  # [N, 1]
+    col = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    onehot = (col == idxk).astype(jnp.bfloat16)
+    out_ref[0] = out_ref[0] + _split_matmul(
+        onehot, _bf16_pack(coeff, _SCATTER_TERMS), cv, transpose=True
+    )
+
+
+def _er_bwd(k, res, cot):
     feats, idx, vals, mmax, mmin, cmax, cmin, gall = res
     zeros = jnp.zeros_like(mmax)
     dmax = cot.get("mmax", zeros)
     dmin = cot.get("mmin", zeros)
     ds = cot.get("s", zeros)
     dq2 = cot.get("q2", zeros)
-    # Per-edge cotangent on the saved k-major gather [B, k, N, Cv]; the
-    # max/min equality masks select the exact forward values (gall is the
-    # bit-identical g the forward reduced).  Tie-splitting matches jnp.max.
-    coeff = (
-        ds[:, None]
-        + 2.0 * gall * dq2[:, None]
-        + jnp.where(gall == mmax[:, None], (dmax / jnp.maximum(cmax, 1.0))[:, None], 0.0)
-        + jnp.where(gall == mmin[:, None], (dmin / jnp.maximum(cmin, 1.0))[:, None], 0.0)
-    )
     b, _, n, cv = gall.shape
-    # The scatter only needs coeff rows and idx rows in the SAME order —
-    # keep coeff k-major (a free bitcast) and transpose the tiny int32
-    # idx instead of the 168 MB coeff tensor.
-    dvals = _flat_scatter_impl(
-        jnp.swapaxes(idx, 1, 2).reshape(b, k * n),
-        coeff.reshape(b, k * n, cv), n, interpret=_interpret(),
+    # k-major idx rows match gall's layout (transpose the tiny int32, not
+    # the big gather); trailing singleton keeps the one-hot compare 2-D.
+    idx_km = jnp.swapaxes(idx, 1, 2)[..., None]  # [B, k, N, 1]
+    aux_spec = pl.BlockSpec(
+        (1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    dvals = pl.pallas_call(
+        _er_bwd_kernel,
+        grid=(b, k),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, cv), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ] + [aux_spec] * 8,
+        out_specs=pl.BlockSpec((1, n, cv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, cv), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(idx_km, gall, ds, dq2, dmax, dmin, cmax, cmin, mmax, mmin)
     # kNN indices carry no gradient (reference top_k likewise).
     return jnp.zeros_like(feats), dvals.astype(vals.dtype)
 
