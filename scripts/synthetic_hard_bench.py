@@ -107,7 +107,12 @@ def main(argv=None):
     p.add_argument("--json", dest="json_out", default="synth_hard.json")
     args = p.parse_args(argv)
 
-    train, test = build_data(256)
+    # Clouds carry 2x the training point count (the h5 convention: 2048-pt
+    # clouds subsampled to --num_point per epoch).  At num_point < ~512 the
+    # pointnet2 family is architecturally degenerate (SA1 wants 512 FPS
+    # centroids), so family ORDERING needs >= 512; within-pair (plain vs
+    # BGA) comparisons are fair at any size.
+    train, test = build_data(2 * args.num_point)
     selected = set(args.models.split(",")) if args.models else None
     results = []
     for model, with_mask, dtype in ROWS:
@@ -121,7 +126,7 @@ def main(argv=None):
     lines = [
         "# Synthetic-hard benchmark (6 confusable ellipsoid classes, 50% clutter)",
         "",
-        f"600 train / 180 test clouds, 256→{args.num_point} pts, batch 24, "
+        f"600 train / 180 test clouds, {2 * args.num_point}→{args.num_point} pts, batch 24, "
         f"{args.epochs} epochs, 1-vote eval.  BGA rows see the fg/bg mask "
         "supervision; plain rows do not.  Accuracies are the regression "
         "signal — they separate by family (unlike the easy fixture where "
