@@ -161,14 +161,23 @@ def make_hard_synthetic_dataset(
       * classes are ellipsoids with distinct-but-confusable axis-ratio
         triples under per-sample ±10% anisotropic scale jitter — the class
         signal sits just above the jitter noise;
-      * ``clutter_frac`` of each cloud is uniform clutter in a 2× larger
-        ball with mask −1 (the h5 background convention), burying the
-        global shape statistics that max-pool features rely on.
+      * ``clutter_frac`` of each cloud is background with mask −1 (the h5
+        convention): half a DISTRACTOR — a full ellipsoid of a *different*
+        class, offset from the object like the neighboring-furniture
+        attachments in real ScanObjectNN scans — and half uniform clutter
+        in the enclosing ball.
 
-    A model that exploits the foreground mask supervision (BGA) can learn
-    to attend to object points; a plain classifier sees clutter-dominated
-    pooled features.  Returns (points[B,N,3] f32, labels[B] i64,
-    masks[B,N] i64 with −1 = clutter).
+    Uniform clutter alone proved insufficient: class-independent noise
+    shifts pooled features by a constant that plain classifiers learn to
+    subtract (round-3 probe: plain PN++ 0.66 vs BGA 0.62), and a
+    hemisphere-cropped fragment only tied the PN++ pair (0.578 both).
+    A full wrong-class ellipsoid puts TWO objects in the cloud — the label
+    is defined by WHICH one is foreground, information only the mask
+    supervision provides — so a pooled global feature is intrinsically
+    ambiguous while a BGA trunk can learn to discount the off-center body
+    (the paper's mechanism: pointnet2_cls_bga.py's class-vector-conditioned
+    seg branch).  Returns (points[B,N,3] f32, labels[B] i64,
+    masks[B,N] i64, −1 = bg).
     """
     # Axis-ratio prototypes: a 3x2 grid (axis-2 x axis-3) with gaps ~1.8 sigma
     # of the per-sample jitter — calibrated so plain-classifier accuracy
@@ -188,19 +197,32 @@ def make_hard_synthetic_dataset(
     rng = np.random.RandomState(seed)
     n_clutter = int(round(num_points * clutter_frac))
     n_fg = num_points - n_clutter
+    n_distract = n_clutter // 2
+    n_uniform = n_clutter - n_distract
     data, labels, masks = [], [], []
+
+    def _ellipsoid(n, ratios):
+        v = rng.randn(n, 3)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        jitter = 1.0 + 0.10 * rng.randn(3)
+        return (v * ratios * jitter * 0.5).astype(np.float32)
+
     for label in range(num_classes):
         for _ in range(num_per_class):
-            v = rng.randn(n_fg, 3)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
-            jitter = 1.0 + 0.10 * rng.randn(3)
-            fg = (v * protos[label] * jitter * 0.5).astype(np.float32)
-            cl = rng.randn(n_clutter, 3)
+            fg = _ellipsoid(n_fg, protos[label])
+            # Distractor: a full ellipsoid of ANOTHER class, offset so the
+            # foreground body stays the (approximately) central one.
+            other = (label + rng.randint(1, num_classes)) % num_classes
+            frag = _ellipsoid(n_distract, protos[other])
+            offset = rng.randn(3)
+            offset *= rng.uniform(0.70, 1.00) / np.linalg.norm(offset)
+            frag = frag + offset.astype(np.float32)
+            cl = rng.randn(n_uniform, 3)
             cl /= np.linalg.norm(cl, axis=1, keepdims=True)
-            cl = (cl * rng.uniform(0.0, 1.0, (n_clutter, 1)) ** (1 / 3)).astype(
+            cl = (cl * rng.uniform(0.0, 1.0, (n_uniform, 1)) ** (1 / 3)).astype(
                 np.float32
             )
-            pc = np.concatenate([fg, cl], axis=0)
+            pc = np.concatenate([fg, frag, cl], axis=0)
             mask = np.concatenate(
                 [np.zeros(n_fg, np.int64), -np.ones(n_clutter, np.int64)]
             )

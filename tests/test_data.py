@@ -239,3 +239,48 @@ def test_bin_loader_keeps_negative_semantic_labels(tmp_path):
     pc = io.load_pc_file(path, with_bg=False)
     assert pc.shape == (20, 3)
     np.testing.assert_allclose(pc, rows[:20, 0:3])
+
+
+def test_hard_synthetic_two_body_structure():
+    """The hard fixture must contain TWO ellipsoid bodies per cloud — the
+    labeled foreground plus a wrong-class distractor — so a pooled global
+    feature is ambiguous and only the mask supervision disambiguates
+    (the BGA mechanism, ref pointnet2/models/pointnet2_cls_bga.py)."""
+    pts, labels, masks = synthetic.make_hard_synthetic_dataset(
+        num_per_class=4, num_classes=6, num_points=256, seed=3
+    )
+    assert pts.shape == (24, 256, 3) and pts.dtype == np.float32
+    assert labels.shape == (24,) and masks.shape == (24, 256)
+    assert set(np.unique(masks)) == {-1, 0}
+    # 50% clutter, split half distractor / half uniform.
+    np.testing.assert_array_equal((masks == -1).sum(axis=1), 128)
+    for i in range(pts.shape[0]):
+        fg = pts[i][masks[i] == 0]
+        bg = pts[i][masks[i] == -1]
+        # Foreground is an origin-centered shell (ellipsoid surface).
+        assert np.linalg.norm(fg.mean(axis=0)) < 0.1
+        # The distractor body sits OFF-center: half the bg points form a
+        # body offset by 0.70-1.00 while the uniform half centers at the
+        # origin, so the combined bg centroid is displaced ~0.35-0.5.
+        assert np.linalg.norm(bg.mean(axis=0)) > 0.2
+    # Labels balanced, classes distinguishable by foreground extents.
+    assert [int((labels == c).sum()) for c in range(6)] == [4] * 6
+
+
+def test_hard_synthetic_foreground_carries_class_signal():
+    """Per-class foreground axis extents must follow the prototype grid —
+    i.e. the class signal lives in the fg shape, not the clutter."""
+    pts, labels, masks = synthetic.make_hard_synthetic_dataset(
+        num_per_class=20, num_classes=6, num_points=256, seed=0
+    )
+    stds = []
+    for c in range(6):
+        sel = labels == c
+        fg = np.concatenate([p[m == 0] for p, m in zip(pts[sel], masks[sel])])
+        stds.append(fg.std(axis=0))
+    stds = np.array(stds)
+    # Axis-2 ratio decreases in prototype pairs (0,1)>(2,3)>(4,5).
+    pair_axis2 = stds[:, 1].reshape(3, 2).mean(axis=1)
+    assert pair_axis2[0] > pair_axis2[1] > pair_axis2[2]
+    # Axis-3 alternates large/small within each pair.
+    assert all(stds[2 * i, 2] > stds[2 * i + 1, 2] for i in range(3))
