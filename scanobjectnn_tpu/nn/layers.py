@@ -91,12 +91,22 @@ class BatchNorm(nn.Module):
 
 class Dense(nn.Module):
     """Linear layer with the reference's glorot-uniform/zeros init; replaces
-    both tf_util.fully_connected and every 1x1-conv per-point MLP step."""
+    both tf_util.fully_connected and every 1x1-conv per-point MLP step.
+
+    ``highest_cols=(a, b)`` multiplies input channels [a, b) against their
+    kernel rows at ``precision=HIGHEST`` (f32-exact products) while the rest
+    run at the default (bf16-operand) MXU precision, and the OUTPUT stays
+    f32 (no final downcast): the option exists to feed an exact cancellation
+    downstream (LiftedGroupMLP subtracts products of UNCENTERED coordinates,
+    ``p·W − q·W``), and rounding the output would re-quantize the large
+    uncentered values (bf16 quantum at ``|p·W|``, not at ``|p−q|·|W|``) and
+    defeat the exact rows.  The caller rounds after its subtraction."""
 
     features: int
     use_bias: bool = True
     dtype: jnp.dtype | None = None
     kernel_init: Callable = default_kernel_init
+    highest_cols: tuple[int, int] | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -104,16 +114,29 @@ class Dense(nn.Module):
             "kernel", self.kernel_init, (x.shape[-1], self.features), jnp.float32
         )
         dtype = self.dtype or x.dtype
-        y = jnp.einsum(
-            "...i,io->...o",
-            x.astype(dtype),
-            kernel.astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
+
+        def mm(xs, ks, precision=None):
+            return jnp.einsum(
+                "...i,io->...o", xs, ks,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+
+        if self.highest_cols is None:
+            y = mm(x.astype(dtype), kernel.astype(dtype))
+        else:
+            a, c = self.highest_cols
+            y = mm(
+                x[..., a:c].astype(jnp.float32), kernel[a:c],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if a > 0:
+                y = y + mm(x[..., :a].astype(dtype), kernel[:a].astype(dtype))
+            if c < x.shape[-1]:
+                y = y + mm(x[..., c:].astype(dtype), kernel[c:].astype(dtype))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b
-        return y.astype(dtype)
+        return y if self.highest_cols is not None else y.astype(dtype)
 
 
 class MLP(nn.Module):

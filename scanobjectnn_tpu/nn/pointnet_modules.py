@@ -257,7 +257,19 @@ class LiftedGroupMLP(nn.Module):
     ) -> jnp.ndarray:
         from scanobjectnn_tpu.nn.layers import BatchNorm, Dense
 
-        d0 = Dense(self.features[0], dtype=self.dtype, name="dense_0")
+        # The xyz kernel rows multiply UNCENTERED coordinates here (the
+        # grouped form multiplies centered p−q), so those products must be
+        # f32-exact or the p·W − q·W cancellation amplifies the default
+        # bf16-operand rounding by ~|p|/|p−q|; highest_cols pins them.
+        n_xyz = xyz.shape[-1]
+        if point_feats is None:
+            hi = (0, n_xyz)
+        else:
+            c_feat = point_feats.shape[-1]
+            hi = (0, n_xyz) if self.xyz_first else (c_feat, c_feat + n_xyz)
+        d0 = Dense(
+            self.features[0], dtype=self.dtype, highest_cols=hi, name="dense_0"
+        )
         if point_feats is None:
             pointwise = d0(xyz)
             qfull = d0(query_xyz)
@@ -275,8 +287,12 @@ class LiftedGroupMLP(nn.Module):
         c_in = xyz.shape[-1] + (0 if point_feats is None else point_feats.shape[-1])
         bias = d0(jnp.zeros((1, 1, c_in), xyz.dtype))
         # per-edge pre-activation: pointwise_j − ([…0…, q]·W) — qfull carries
-        # the bias too, so add it back once.
+        # the bias too, so add it back once.  The dense outputs stay f32
+        # (Dense.highest_cols contract); round to the compute dtype only
+        # AFTER the cancellation, at the centered |p−q|·|W| scale.
         x = gather_neighbors(pointwise, idx) - (qfull - bias)[:, :, None, :]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         n_layers = len(self.features)
         for i, f in enumerate(self.features):
             if i > 0:

@@ -149,8 +149,13 @@ def _pick_grp(n: int, tile: int) -> int:
 
     env = os.environ.get("SCANOBJECTNN_EDGE_GRP")
     if env:
-        g = int(env)
-        return g if (n // tile) % g == 0 else 1
+        try:
+            g = int(env)
+        except ValueError:
+            return 1
+        # g <= 0 (e.g. "0" as a disable convention, cf.
+        # SCANOBJECTNN_FUSED_SA_EVAL=0) falls back to the default.
+        return g if g > 0 and (n // tile) % g == 0 else 1
     return 1
 
 

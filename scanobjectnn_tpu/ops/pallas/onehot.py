@@ -70,8 +70,30 @@ def _bf16_split(v: jnp.ndarray, terms: int = _SPLIT_TERMS) -> list[jnp.ndarray]:
 
 
 def _bf16_pack(v: jnp.ndarray, terms: int = _SPLIT_TERMS) -> jnp.ndarray:
-    """Split into bf16 terms packed side-by-side: [N, C] -> [N, terms*C]."""
+    """Split into bf16 terms packed side-by-side: [N, C] -> [N, terms*C].
+
+    IN-KERNEL (Mosaic) USE ONLY: the astype-based residual is folded to
+    identity by XLA's excess-precision rule when traced at the jit level
+    (the residual terms silently become zero).  Outside a Pallas kernel use
+    :func:`bf16_pack_traced`."""
     parts = _bf16_split(v, terms)
+    return parts[0] if terms == 1 else jnp.concatenate(parts, axis=-1)
+
+
+def bf16_pack_traced(v: jnp.ndarray, terms: int = _SPLIT_TERMS) -> jnp.ndarray:
+    """XLA-level (outside-kernel) exact bf16 term packing.
+
+    Rounds via ``lax.reduce_precision`` (same round-to-nearest-even as an
+    f32→bf16 convert, but opaque to --xla_allow_excess_precision folding,
+    which turns ``x - x.astype(bf16).astype(f32)`` into ``x - x`` under jit
+    — measured bf16-level 7.6e-3 error; see ballquery_kernel._split_and_tri)."""
+    parts = []
+    rem = v
+    for _ in range(terms - 1):
+        r = jax.lax.reduce_precision(rem, 8, 7)
+        parts.append(r.astype(jnp.bfloat16))
+        rem = rem - r
+    parts.append(rem.astype(jnp.bfloat16))
     return parts[0] if terms == 1 else jnp.concatenate(parts, axis=-1)
 
 

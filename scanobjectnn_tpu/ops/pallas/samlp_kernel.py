@@ -52,7 +52,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from scanobjectnn_tpu.ops.pallas.onehot import _bf16_pack, _split_matmul
+from scanobjectnn_tpu.ops.pallas.onehot import bf16_pack_traced, _split_matmul
 
 __all__ = ["sa_mlp_pool", "fold_bn_mlp_params"]
 
@@ -170,7 +170,9 @@ def _sa_mlp_pool_call(gxyz_km, idx_km, src, weights_and_biases, out_dtype_arr,
         if src.dtype == jnp.bfloat16:
             srcp = src
         else:
-            srcp = _bf16_pack(src.astype(jnp.float32))
+            # Built at trace level (outside the kernel): must round via
+            # reduce_precision or XLA folds the residual terms to zero.
+            srcp = bf16_pack_traced(src.astype(jnp.float32))
         inputs.append(srcp)
         n = src.shape[1]
         cp = srcp.shape[-1]

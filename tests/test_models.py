@@ -190,3 +190,40 @@ class TestLiftedGroupMLP:
 
     def test_xyz_only(self):
         self._check(False)
+
+    def test_bf16_offset_keeps_centered_precision(self):
+        """dtype=bfloat16 with a large common coordinate offset: the lifted
+        form multiplies UNCENTERED coords, so without Dense.highest_cols
+        (exact xyz products, f32 output, rounding only after the p·W − q·W
+        cancellation) the error re-quantizes at the |p·W| scale — measured
+        ~0.25 abs here; the fixed path stays at the grouped form's own bf16
+        noise (~0.016)."""
+        import numpy as np
+
+        from scanobjectnn_tpu import ops
+        from scanobjectnn_tpu.nn.layers import MLP
+        from scanobjectnn_tpu.nn.pointnet_modules import LiftedGroupMLP
+        from scanobjectnn_tpu.ops.pallas.edge_kernel import gather_neighbors
+
+        rng = np.random.RandomState(0)
+        xyz = jnp.asarray(64.0 + 0.5 * rng.randn(2, 64, 3).astype(np.float32))
+        new_xyz = xyz[:, :16]
+        feats = jnp.asarray(rng.randn(2, 64, 11).astype(np.float32))
+        grouped_xyz, idx, _ = ops.query_ball_group(0.8, 8, xyz, new_xyz)
+
+        mod = LiftedGroupMLP((10, 12), xyz_first=False, dtype=jnp.bfloat16)
+        variables = mod.init(
+            jax.random.PRNGKey(0), feats, xyz, new_xyz, idx, train=False
+        )
+        got = jax.jit(
+            lambda v: mod.apply(v, feats, xyz, new_xyz, idx, train=False)
+        )(variables)
+
+        grouped = jnp.concatenate(
+            [gather_neighbors(feats, idx), grouped_xyz], axis=-1
+        )
+        want = MLP((10, 12), dtype=jnp.bfloat16).apply(
+            variables, grouped, train=False
+        )
+        err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+        assert err.max() < 0.05, f"lifted bf16 drifted from grouped: {err.max()}"

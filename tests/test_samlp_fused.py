@@ -108,6 +108,32 @@ class TestFusedSAEval:
             np.asarray(ref[1]), np.asarray(got[1]), rtol=2e-4, atol=2e-5
         )
 
+    def test_bf16_module_parity(self, rng, monkeypatch):
+        """dtype=bfloat16 modules (the CLI --dtype bfloat16 eval path) must
+        agree between the fused kernel and the unfused dataflow to bf16
+        tolerance — the synth-hard bf16 eval runs exactly this dispatch."""
+        xyz, pts = _cloud(rng, b=2, n=128, c=24)
+        m = SAModule(
+            npoint=32, radius=0.6, nsample=8, mlp=(32, 48),
+            dtype=jnp.bfloat16,
+        )
+        variables = m.init(jax.random.PRNGKey(1), xyz, pts, train=False)
+        variables = _trained_stats(variables, rng)
+        monkeypatch.setenv("SCANOBJECTNN_FUSED_SA_EVAL", "0")
+        ref = m.apply(variables, xyz, pts, train=False)
+        monkeypatch.setenv("SCANOBJECTNN_FUSED_SA_EVAL", "interpret")
+        got = m.apply(variables, xyz, pts, train=False)
+        np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(got[2]))
+        r = np.asarray(ref[1], np.float32)
+        g = np.asarray(got[1], np.float32)
+        # bf16 tolerance: the fused kernel folds BN into the weights, so the
+        # two paths round in different places; agreement to ~2 bf16 ulps of
+        # the activation scale is the contract.
+        scale = max(1.0, float(np.abs(r).max()))
+        assert np.abs(r - g).max() < 0.035 * scale, (
+            f"fused bf16 drifted: {np.abs(r - g).max()} vs scale {scale}"
+        )
+
     def test_train_mode_keeps_unfused(self, rng, monkeypatch):
         """Training must NOT dispatch to the fused kernel (BN batch stats)."""
         xyz, _ = _cloud(rng, b=1, n=128)
@@ -124,3 +150,28 @@ class TestFusedSAEval:
             not np.allclose(np.asarray(a), np.asarray(b))
             for a, b in zip(stats, init_stats)
         )
+
+
+def test_bf16_pack_traced_exact_under_jit():
+    """bf16_pack_traced must keep the residual terms live under jit: the
+    astype-based split (_bf16_pack) is folded to identity by XLA's
+    --xla_allow_excess_precision rule at trace level, which silently zeroes
+    every term after the first (bf16-level 7.6e-3 error).  The traced pack
+    rounds via lax.reduce_precision, which the folder cannot see through;
+    the 3-term sum must reconstruct f32 inputs to ~f32 ulp."""
+    from scanobjectnn_tpu.ops.pallas.onehot import _SPLIT_TERMS, bf16_pack_traced
+
+    rng = np.random.RandomState(0)
+    v = jnp.asarray((rng.randn(64, 24) * 10.0).astype(np.float32))
+
+    packed = jax.jit(bf16_pack_traced)(v)
+    c = v.shape[-1]
+    assert packed.shape[-1] == _SPLIT_TERMS * c
+    terms = [
+        np.asarray(packed[..., i * c : (i + 1) * c], np.float32)
+        for i in range(_SPLIT_TERMS)
+    ]
+    # residual terms must be live (the regression: folded -> all-zero tails)
+    assert all(np.any(t != 0.0) for t in terms[1:])
+    recon = np.sum(terms, axis=0)
+    np.testing.assert_allclose(recon, np.asarray(v), rtol=3e-7, atol=1e-6)
