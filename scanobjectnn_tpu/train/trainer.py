@@ -67,6 +67,11 @@ class TrainerConfig:
     seg_weight: float = 0.5
     reg_weight: float = 0.001
     weight_decay: float = 0.0
+    # Compute dtype for model activations/matmuls (params stay f32).
+    # f32 is the TRAINING default on measurement: bf16 training collapses
+    # the max-pool families on near-threshold tasks (in-network compute
+    # noise, not input quantization — SYNTH_HARD.md probe table), while
+    # bf16 INFERENCE is parity-tested and is how the headline bench runs.
     dtype: str = "float32"
     seed: int = 0
     log_dir: str | None = None
@@ -629,10 +634,13 @@ class Trainer:
     ) -> TrainState:
         cfg = self.config
         rng = jax.random.PRNGKey(cfg.seed)
+        resumed = False
         if state is None:
             state = self.init_state(rng)
             if resume and cfg.log_dir:
-                state = self.restore(state) or state
+                restored = self.restore(state)
+                if restored is not None:
+                    state, resumed = restored, True
         self.logger.log(
             f"model={cfg.model} params={self.param_count(state):,} "
             f"devices={len(self.mesh.devices.flatten())}"
@@ -656,7 +664,20 @@ class Trainer:
             )
         best_acc = -1.0  # best-so-far tracking (3DmFV-Net/train.py:232-237)
         best_avg_cls = -1.0
-        for epoch in range(cfg.max_epoch):
+        start_epoch = 0
+        if resumed:
+            # Pick up the best-so-far + epoch counter from the sidecars so a
+            # restarted run neither clobbers checkpoint_best with a worse
+            # state nor re-trains completed epochs.
+            bj = self._load_sidecar("best.json")
+            best_acc = float(bj.get("accuracy", best_acc))
+            best_avg_cls = float(bj.get("avg_class_accuracy", best_avg_cls))
+            lj = self._load_sidecar("last.json")
+            start_epoch = int(lj.get("epoch", -1)) + 1
+            self.logger.log(
+                f"resumed at epoch {start_epoch} (best_acc={best_acc:.4f})"
+            )
+        for epoch in range(start_epoch, cfg.max_epoch):
             t0 = time.time()
             if sampler is None:
                 state, summary = self.train_epoch_device(state, device_data, rng)
@@ -691,11 +712,14 @@ class Trainer:
                     best_acc = acc
                     best_avg_cls = ev.get("avg_class_accuracy", -1.0)
                     if cfg.log_dir:
-                        self.save(state, best=True)
+                        self.save(state, best=True, meta={
+                            "accuracy": float(best_acc),
+                            "avg_class_accuracy": float(best_avg_cls),
+                        })
                 scalars["best_accuracy"] = best_acc
             self.logger.scalars(int(state.step), epoch=epoch, **scalars)
             if cfg.log_dir and (epoch + 1) % cfg.checkpoint_every == 0:
-                self.save(state)
+                self.save(state, meta={"epoch": epoch})
         if test_data is not None:
             self.logger.log(f"Best test accuracy: {best_acc:f}")
             if best_avg_cls >= 0:  # partseg has no per-class cls accuracy
@@ -709,7 +733,9 @@ class Trainer:
         name = "checkpoint_best" if best else "checkpoint"
         return os.path.join(os.path.abspath(self.config.log_dir), name)
 
-    def save(self, state: TrainState, best: bool = False) -> None:
+    def save(
+        self, state: TrainState, best: bool = False, meta: dict | None = None
+    ) -> None:
         import orbax.checkpoint as ocp
 
         path = self._ckpt_dir(best=best)
@@ -721,9 +747,20 @@ class Trainer:
                 {k: v for k, v in self.config.__dict__.items() if not callable(v)},
                 f, default=str, indent=2,
             )
-        if best:
-            with open(os.path.join(os.path.dirname(path), "best.json"), "w") as f:
-                json.dump({"step": int(state.step)}, f)
+        # Sidecar metadata so --resume can pick up where it left off:
+        # best.json carries the best-so-far accuracy (otherwise the first
+        # post-resume epoch would clobber checkpoint_best), last.json the
+        # epoch counter.
+        sidecar = "best.json" if best else "last.json"
+        with open(os.path.join(os.path.dirname(path), sidecar), "w") as f:
+            json.dump({"step": int(state.step), **(meta or {})}, f)
+
+    def _load_sidecar(self, name: str) -> dict:
+        path = os.path.join(os.path.abspath(self.config.log_dir), name)
+        if os.path.isfile(path):
+            with open(path) as f:
+                return json.load(f)
+        return {}
 
     def snapshot_sources(self) -> None:
         """Copy the model's source module (+ this trainer) into the log dir,

@@ -435,3 +435,66 @@ def test_fit_writes_metrics_best_and_snapshot(tmp_path):
     snap = os.path.join(log_dir, "src_snapshot")
     assert os.path.isfile(os.path.join(snap, "trainer.py"))
     assert os.path.isfile(os.path.join(snap, "pointnet.py"))
+
+
+def test_resume_continues_from_sidecars(tmp_path):
+    """--resume must pick up the epoch counter and best-so-far accuracy from
+    the checkpoint sidecars (last.json / best.json): a restarted run neither
+    re-trains completed epochs nor clobbers checkpoint_best with a worse
+    state (ref protocol: 3DmFV-Net/train.py best tracking + per-epoch ckpt)."""
+    import json
+
+    log_dir = str(tmp_path / "log")
+    data = _dataset()
+
+    def run(max_epoch, resume):
+        cfg = TrainerConfig(
+            model="pointnet_cls_basic", num_classes=3, num_point=48,
+            batch_size=8, max_epoch=max_epoch, log_dir=log_dir,
+        )
+        Trainer(cfg).fit(data, test_data=data, resume=resume)
+
+    run(max_epoch=2, resume=False)
+    first_best = json.load(open(os.path.join(log_dir, "best.json")))
+    assert first_best.get("accuracy", -1) >= 0
+    assert json.load(open(os.path.join(log_dir, "last.json")))["epoch"] == 1
+
+    run(max_epoch=4, resume=True)
+    records = [
+        json.loads(l) for l in open(os.path.join(log_dir, "metrics.jsonl"))
+    ]
+    # 2 epochs from the first run + exactly 2 more (2, 3) from the resume
+    assert [r["epoch"] for r in records] == [0, 1, 2, 3]
+    second_best = json.load(open(os.path.join(log_dir, "best.json")))
+    assert second_best["accuracy"] >= first_best["accuracy"]
+    assert json.load(open(os.path.join(log_dir, "last.json")))["epoch"] == 3
+
+
+def test_synth_hard_results_show_bga_advantage():
+    """Coarse ordering assertion over the committed synthetic-hard results
+    (synth_hard.json, produced on the TPU by scripts/synthetic_hard_bench.py):
+    every BGA variant must beat its plain counterpart — the paper's core
+    claim (ref pointnet2/models/pointnet2_cls_bga.py) — and every f32 row
+    must clear chance by a wide margin.  A model-quality regression that
+    survives the unit tests moves these numbers; re-run the script and this
+    test pins whether the ordering still holds."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "synth_hard.json")
+    if not os.path.isfile(path):
+        pytest.skip("synth_hard.json not generated yet")
+    rows = {
+        (r["model"], r["dtype"]): r["accuracy"] for r in json.load(open(path))
+    }
+    chance = 1.0 / 6.0
+    pairs = [
+        ("pointnet_cls_basic", "pointnet_seg"),
+        ("pointnet2_cls_ssg", "pointnet2_cls_bga"),
+        ("dgcnn", "dgcnn_bga"),
+    ]
+    for plain, bga in pairs:
+        p, b = rows[(plain, "float32")], rows[(bga, "float32")]
+        assert b > p, f"BGA {bga}={b} does not beat plain {plain}={p}"
+    for (model, dtype), acc in rows.items():
+        if dtype == "float32":
+            assert acc > 2 * chance, f"{model} f32 near chance: {acc}"
