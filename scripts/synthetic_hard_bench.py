@@ -4,7 +4,8 @@
 The easy synthetic fixture separates trivially (every family reaches 1.000
 — round-2 VERDICT: such checks cannot catch a model-quality regression).
 This harness trains on ``make_hard_synthetic_dataset`` — near-confusable
-ellipsoid classes buried in uniform background clutter — where:
+ellipsoid classes sharing each cloud with a wrong-class distractor body
+plus uniform clutter (all mask −1) — where:
 
   * per-family accuracies SEPARATE (a quality regression moves them), and
   * the BGA (background-aware) variants should beat their plain
