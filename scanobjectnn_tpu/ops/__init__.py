@@ -11,6 +11,7 @@ have Pallas TPU kernels (ops.pallas) selected via ``set_backend`` /
 
 from scanobjectnn_tpu.ops.fps import (
     farthest_point_sample,
+    farthest_point_sample_with_coords,
     gather_point,
     prob_sample,
     prob_sample_pdf,
@@ -29,6 +30,7 @@ from scanobjectnn_tpu.ops.emd import auction_match, emd_loss
 
 __all__ = [
     "farthest_point_sample",
+    "farthest_point_sample_with_coords",
     "gather_point",
     "prob_sample",
     "prob_sample_pdf",

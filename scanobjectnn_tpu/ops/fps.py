@@ -34,6 +34,7 @@ from jax import lax
 __all__ = [
     "farthest_point_sample",
     "farthest_point_sample_lax",
+    "farthest_point_sample_with_coords",
     "gather_point",
     "prob_sample",
     "prob_sample_pdf",
@@ -101,6 +102,24 @@ def farthest_point_sample_lax(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
         (_, _), rest = lax.scan(step, init, None, length=npoint - 1)
         idx = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), rest.T], axis=1)
     return lax.stop_gradient(idx)
+
+
+def farthest_point_sample_with_coords(
+    xyz: jnp.ndarray, npoint: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """FPS returning (idx [B, npoint], new_xyz [B, npoint, 3]) in one pass.
+
+    ``new_xyz`` is bit-identical to ``gather_point(xyz, idx)`` but comes
+    straight from the Pallas kernel's selection state (saves the ~1.3 ms
+    row gather at B=128 eval shapes).  BOTH outputs are stop_gradient'ed —
+    use in inference/eval chains; training paths that need the
+    differentiable centroid gather keep ``gather_point``."""
+    if _use_pallas():
+        from scanobjectnn_tpu.ops.pallas.fps_kernel import fps_pallas_with_coords
+
+        return fps_pallas_with_coords(xyz, npoint)
+    idx = farthest_point_sample_lax(xyz, npoint)
+    return idx, lax.stop_gradient(gather_point(xyz, idx))
 
 
 def gather_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

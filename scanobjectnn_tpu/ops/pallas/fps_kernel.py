@@ -31,12 +31,20 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fps_pallas"]
+__all__ = ["fps_pallas", "fps_pallas_with_coords"]
 
 
-def _fps_kernel(xyz_ref, idx_ref, mind_ref, idx_t_ref, *, npoint: int):
-    # xyz_ref: [B, 3, N] f32 in VMEM; idx_ref: [B, npoint] int32 out;
-    # mind_ref: [B, N] f32 scratch; idx_t_ref: [npoint, B] int32 scratch.
+def _fps_kernel(xyz_ref, *refs, npoint: int, with_coords: bool):
+    # xyz_ref: [B, 3, N] f32 in VMEM; then (with_coords selecting the ref
+    # layout): idx_ref [B, npoint] int32 out, optionally cx/cy/cz [B, npoint]
+    # f32 outs (the selected coordinates — saves the caller a gather_point,
+    # which is row-rate-limited at ~1.3 ms for B=128 2048→512), then
+    # mind_ref [B, N] f32 scratch and idx_t_ref [npoint, B] int32 scratch.
+    #
+    # Coordinates accumulate by masked LANE select (out[:, j] = coord of the
+    # j-th selection) — a dynamic per-step store to lane j is illegal
+    # (sublane granularity only), but `where(lane_iota == j, val, acc)` is
+    # three cheap VPU passes per coordinate over [B, npoint].
     #
     # Indices accumulate TRANSPOSED ([npoint, B]) because Mosaic only allows
     # dynamic vector stores at sublane (row) granularity — a per-step store
@@ -49,6 +57,11 @@ def _fps_kernel(xyz_ref, idx_ref, mind_ref, idx_t_ref, *, npoint: int):
     # sublane concats hit Mosaic lowering gaps at B >= 43 (1-D concat
     # "outside the first tile"; bool-vector sublane concat bitcast_vreg).
     # Per-plane extraction is the robust form.
+    if with_coords:
+        idx_ref, cx_ref, cy_ref, cz_ref, mind_ref, idx_t_ref = refs
+        cxa_ref, cya_ref, cza_ref = cx_ref, cy_ref, cz_ref
+    else:
+        idx_ref, mind_ref, idx_t_ref = refs
     x = xyz_ref[:, 0, :]
     y = xyz_ref[:, 1, :]
     z = xyz_ref[:, 2, :]
@@ -58,6 +71,12 @@ def _fps_kernel(xyz_ref, idx_ref, mind_ref, idx_t_ref, *, npoint: int):
     idx_t_ref[0, :] = jnp.zeros((b,), jnp.int32)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (b, n), dimension=1)
+    if with_coords:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, npoint), dimension=1)
+        seed0 = lane == 0
+        cxa_ref[:, :] = jnp.where(seed0, x[:, 0:1], 0.0)
+        cya_ref[:, :] = jnp.where(seed0, y[:, 0:1], 0.0)
+        cza_ref[:, :] = jnp.where(seed0, z[:, 0:1], 0.0)
 
     def step(j, carry):
         # One selection: update min-dist with the last point, argmax, extract.
@@ -71,6 +90,11 @@ def _fps_kernel(xyz_ref, idx_ref, mind_ref, idx_t_ref, *, npoint: int):
         nx = jnp.sum(x * onehot, axis=1, keepdims=True)
         ny = jnp.sum(y * onehot, axis=1, keepdims=True)
         nz = jnp.sum(z * onehot, axis=1, keepdims=True)
+        if with_coords:
+            sel = lane == j
+            cxa_ref[:, :] = jnp.where(sel, nx, cxa_ref[:, :])
+            cya_ref[:, :] = jnp.where(sel, ny, cya_ref[:, :])
+            cza_ref[:, :] = jnp.where(sel, nz, cza_ref[:, :])
         return (nx, ny, nz)
 
     # Seed: point 0 of every cloud.  Two selections per loop iteration
@@ -93,7 +117,7 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int, interpret: bool = False) -> jnp.nd
     """Farthest point sampling: [B, N, 3] -> int32 [B, npoint]."""
     b, n, _ = xyz.shape
     xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # [B, 3, N]
-    kernel = functools.partial(_fps_kernel, npoint=npoint)
+    kernel = functools.partial(_fps_kernel, npoint=npoint, with_coords=False)
     idx = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
@@ -106,3 +130,47 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int, interpret: bool = False) -> jnp.nd
         interpret=interpret,
     )(xyz_t)
     return lax.stop_gradient(idx)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def fps_pallas_with_coords(
+    xyz: jnp.ndarray, npoint: int, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """FPS returning BOTH indices and the selected coordinates.
+
+    [B, N, 3] -> (idx int32 [B, npoint], new_xyz f32 [B, npoint, 3]).
+
+    The coordinates come straight out of the kernel's per-step extraction
+    (bit-identical to ``gather_point(xyz, idx)``), saving the caller the
+    post-hoc gather — the vmap row gather costs ~1.3 ms at B=128 2048→512
+    (row-rate-limited), while the in-kernel lane-select accumulation rides
+    the latency-bound selection chain.  Both outputs are stop_gradient'ed
+    (FPS has no gradient; the reference's new_xyz gather IS differentiable,
+    so the TRAINING paths keep gather_point — this entry point is for
+    inference/eval chains)."""
+    b, n, _ = xyz.shape
+    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # [B, 3, N]
+    kernel = functools.partial(_fps_kernel, npoint=npoint, with_coords=True)
+    idx, cx, cy, cz = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, npoint), jnp.int32),
+            jax.ShapeDtypeStruct((b, npoint), jnp.float32),
+            jax.ShapeDtypeStruct((b, npoint), jnp.float32),
+            jax.ShapeDtypeStruct((b, npoint), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, n), jnp.float32),
+            pltpu.VMEM((npoint, b), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xyz_t)
+    new_xyz = jnp.stack([cx, cy, cz], axis=-1)
+    return lax.stop_gradient(idx), lax.stop_gradient(new_xyz)

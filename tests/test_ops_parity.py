@@ -201,6 +201,40 @@ class TestFPSPallas:
         got = np.asarray(fps_pallas(jnp.asarray(xyz), 1, interpret=True))
         assert got.shape == (2, 1) and (got == 0).all()
 
+    @pytest.mark.parametrize("npoint", [1, 7, 64])
+    def test_with_coords_matches_gather(self, rng, npoint):
+        """fps_pallas_with_coords must return the SAME indices as the plain
+        kernel and coordinates bit-identical to gather_point(xyz, idx) —
+        the in-kernel lane-select extraction replaces the row gather in the
+        eval chain (odd/1 npoint exercise the non-unrolled loop forms)."""
+        from scanobjectnn_tpu.ops.fps import gather_point
+        from scanobjectnn_tpu.ops.pallas.fps_kernel import (
+            fps_pallas,
+            fps_pallas_with_coords,
+        )
+
+        xyz = jnp.asarray(_cloud(rng, b=3, n=128))
+        idx, new_xyz = fps_pallas_with_coords(xyz, npoint, interpret=True)
+        want_idx = fps_pallas(xyz, npoint, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+        np.testing.assert_array_equal(
+            np.asarray(new_xyz), np.asarray(gather_point(xyz, idx))
+        )
+
+    def test_ops_dispatcher_with_coords_lax_fallback(self, rng):
+        """The ops-level wrapper's lax fallback (non-TPU) returns the same
+        (idx, coords) contract as the kernel path."""
+        from scanobjectnn_tpu import ops
+
+        xyz = jnp.asarray(_cloud(rng, b=2, n=96))
+        idx, new_xyz = ops.farthest_point_sample_with_coords(xyz, 24)
+        np.testing.assert_array_equal(
+            np.asarray(idx), np.asarray(ops.farthest_point_sample(xyz, 24))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(new_xyz), np.asarray(ops.gather_point(xyz, idx))
+        )
+
 
 class TestBallQueryPallas:
     """The Pallas ball-query kernel (interpret mode on CPU) matches the lax
