@@ -95,36 +95,53 @@ def _timed_ms(fn, pts, n_iters: int = 30) -> float:
 
 
 def _phase_ms(points) -> dict:
-    """Per-phase wall-clock of the forward's neighborhood kernels at the
-    exact SA shapes, so the headline states WHERE the time goes:
-    fps (SA1 2048→512 + SA2 512→128), ball_query (fused query+group at both
-    SA shapes); 'mlps_and_rest' is the remainder of the full forward."""
+    """Per-phase wall-clock of the forward's neighborhood phases at the
+    exact SA shapes, mirroring the fused eval path the model actually runs:
+    fps (with-coords kernels, SA1 2048→512 + SA2 512→128) and the two
+    fully-fused SA layers (ball select + gather + folded-BN MLP + max-pool
+    in one kernel each, ops/pallas/safused_kernel.py).  'sa3_head_rest' is
+    the remainder of the full forward (group-all SA3 + classifier head)."""
     from scanobjectnn_tpu import ops
+    from scanobjectnn_tpu.ops.pallas.safused_kernel import sa_ball_mlp_pool
+
+    key = jax.random.PRNGKey(1)
+
+    def _w(shapes):
+        ws, bs = [], []
+        for cin, cout in shapes:
+            ws.append(jax.random.normal(key, (cin, cout), jnp.float32) * 0.1)
+            bs.append(jnp.zeros((cout,), jnp.float32))
+        return ws, bs
+
+    w1, b1 = _w([(3, 64), (64, 64), (64, 128)])
+    w2, b2 = _w([(131, 128), (128, 128), (128, 256)])
 
     def fps_fn(pts):
-        i1 = ops.farthest_point_sample(pts, 512)
-        sub = ops.gather_point(pts, i1)
+        # FPS emits the centroid coords directly (no gather_point).
+        i1, sub = ops.farthest_point_sample_with_coords(pts, 512)
         i2 = ops.farthest_point_sample(sub, 128)
         return (i1.astype(jnp.float32).sum() + i2.astype(jnp.float32).sum())[None]
 
-    def bq_fn(pts):
-        i1 = ops.farthest_point_sample(pts, 512)
-        new1 = ops.gather_point(pts, i1)
-        g1, idx1, _ = ops.query_ball_group(0.2, 32, pts, new1)
-        i2 = ops.farthest_point_sample(new1, 128)
-        new2 = ops.gather_point(new1, i2)
-        g2, idx2, _ = ops.query_ball_group(0.4, 64, new1, new2)
+    def sa_fn(pts):
+        i1, new1 = ops.farthest_point_sample_with_coords(pts, 512)
+        f1, _ = sa_ball_mlp_pool(
+            0.2, 32, pts, new1, None, w1, b1, dtype=jnp.bfloat16
+        )
+        i2, new2 = ops.farthest_point_sample_with_coords(new1, 128)
+        f2, _ = sa_ball_mlp_pool(
+            0.4, 64, new1, new2, f1, w2, b2, dtype=jnp.bfloat16
+        )
         return (
-            g1.sum() + g2.sum()
-            + idx1.astype(jnp.float32).sum() + idx2.astype(jnp.float32).sum()
+            f2.astype(jnp.float32).sum()
+            + i1.astype(jnp.float32).sum() + i2.astype(jnp.float32).sum()
         )[None]
 
     fps_ms = _timed_ms(fps_fn, points)
-    sample_group_ms = _timed_ms(bq_fn, points)
+    sa_ms = _timed_ms(sa_fn, points)
     return {
         "fps": round(fps_ms, 2),
-        # ball query measured as (fps+query+group chain) − fps chain
-        "ball_query_group": round(sample_group_ms - fps_ms, 2),
+        # fused SA layers measured as (fps + fused-SA chain) − fps chain
+        "fused_sa_layers": round(sa_ms - fps_ms, 2),
     }
 
 
@@ -164,8 +181,8 @@ def main() -> None:
     clouds_per_sec = BATCH * n_iters / dt
     batch_ms = dt / n_iters * 1000.0
     phases = _phase_ms(points)
-    phases["mlps_and_rest"] = round(
-        max(batch_ms - phases["fps"] - phases["ball_query_group"], 0.0), 2
+    phases["sa3_head_rest"] = round(
+        max(batch_ms - phases["fps"] - phases["fused_sa_layers"], 0.0), 2
     )
     result = {
         "metric": "pointnet2_ssg_inference_2048pts",

@@ -110,6 +110,31 @@ def query_ball_pallas(
     return idx, cnt[..., 0]
 
 
+def _rank_inclusive(hit, tri):
+    """rank[t, i] = #hits at columns <= i (inclusive cumsum of hit): one
+    INDEPENDENT [T, W] @ [W, W] bf16 matmul per block (values <= 256 per
+    block exact in bf16) + exact f32 block offsets accumulated with cheap
+    [T, 1] adds — no serial matmul chain.  Shared by the ball-group kernel
+    and the fused SA-layer kernel (safused_kernel.py)."""
+    n = hit.shape[-1]
+    w = tri.shape[0]
+    hitb = jnp.where(hit, 1.0, 0.0).astype(jnp.bfloat16)
+    cjs = [
+        jax.lax.dot_general(
+            hitb[:, j * w : (j + 1) * w], tri,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for j in range(n // w)
+    ]
+    blocks = []
+    base = jnp.zeros((hit.shape[0], 1), jnp.float32)
+    for j in range(n // w):
+        blocks.append(cjs[j] + base)
+        base = base + cjs[j][:, w - 1 : w]
+    return jnp.concatenate(blocks, axis=1)
+
+
 def _emit_radius(
     d2, radius, nsample, split, tri, qx, qy, qz, x, y, z,
     idx_ref, cnt_ref, gx_ref, gy_ref, gz_ref, gxs_ref, gys_ref, gzs_ref, cs_ref,
@@ -128,26 +153,7 @@ def _emit_radius(
     cnt_total = jnp.sum(hit.astype(jnp.int32), axis=1)
     cnt_ref[0, :, 0] = jnp.minimum(cnt_total, nsample).astype(jnp.int32)
 
-    # rank[t, i] = #hits at columns <= i (inclusive cumsum of hit): one
-    # INDEPENDENT [T, W] @ [W, W] bf16 matmul per block (values <= 256 per
-    # block exact in bf16) + exact f32 block offsets accumulated with cheap
-    # [T, 1] adds — no serial matmul chain.
-    w = tri.shape[0]
-    hitb = jnp.where(hit, 1.0, 0.0).astype(jnp.bfloat16)
-    cjs = [
-        jax.lax.dot_general(
-            hitb[:, j * w : (j + 1) * w], tri,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for j in range(n // w)
-    ]
-    blocks = []
-    base = jnp.zeros((qx.shape[0], 1), jnp.float32)
-    for j in range(n // w):
-        blocks.append(cjs[j] + base)
-        base = base + cjs[j][:, w - 1 : w]
-    rank = jnp.concatenate(blocks, axis=1)  # [T, N] f32, exact ints
+    rank = _rank_inclusive(hit, tri)  # [T, N] f32, exact ints
     # NOTE a bf16 slot array (clamped to nsample+1, exact; two sublanes per
     # vreg → half-cost eq/select passes) fails Mosaic lowering: the i1 mask
     # of a (16,128)-tiled bf16 compare trips an "invalid relayout" on this

@@ -1,0 +1,293 @@
+"""Fully-fused eval-time SA layer: ball select + gather + MLP + max-pool.
+
+Reference semantics: /root/reference/pointnet2/utils/pointnet_util.py:87-154
+(sample_and_group + pointnet_sa_module): ball query (first-K-in-order,
+tf_grouping_g.cu:3-36), centered neighborhood grouping, conv2d(1x1) stack,
+max-pool over the neighbor axis.
+
+This kernel goes one step past samlp_kernel.py (which fuses gather+MLP+pool
+but still reads the ball-group kernel's [B, M, K] coordinate planes and
+[B, M, K] indices back from HBM): the ball SELECTION itself runs in the same
+program, so the grouped coordinates and indices never leave VMEM.  What the
+two-kernel chain pays per SA layer and this kernel does not:
+
+  * the ball kernel's 3x [B, M, K] f32 coord-plane writes + the XLA stack to
+    [B, M, K, 3] + samlp's transpose to K-major + the block re-read
+    (~25 MB x 4 at SA1 B=128 — measured ~0.9 ms of stack/transpose glue),
+  * the [B, M, K] idx round trip (SA2's feature gather one-hots are rebuilt
+    from idx that never left VMEM),
+  * one full program launch per layer.
+
+Selection is the proven rank-based form (ballquery_kernel.py): hit mask ->
+block-triangular bf16 cumsum (_rank_inclusive) -> K INDEPENDENT per-slot
+one-hot MXU matmuls against the packed bf16 coordinate/column split
+(bit-exact f32 reconstruction, onehot.py convention).  Each slot's [T, 16]
+extraction is padded (repeat first hit; point 0 when a row has no hits,
+centered on the query) and stacked K-leading, so the [KC*T, 3] MLP rows
+collapse layout-preserving exactly as in samlp_kernel.  MLP weights arrive
+with eval-mode BatchNorm pre-folded (samlp_kernel.fold_bn_mlp_params).
+
+The kernel still emits the [B, M, K] indices (the SA module's public
+contract returns them); when the caller discards idx, XLA dead-code
+eliminates nothing here (the store is inside the kernel) but the write is
+~2% of the removed traffic.  K is capped at 64 (the unrolled-slot form —
+MSG's K=128 keeps the two-kernel chain).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scanobjectnn_tpu.ops.pallas.ballquery_kernel import (
+    _rank_inclusive,
+    _split_and_tri,
+)
+from scanobjectnn_tpu.ops.pallas.onehot import _split_matmul, bf16_pack_traced
+
+__all__ = ["sa_ball_mlp_pool"]
+
+
+def _safused_kernel(
+    xyz_ref, new_xyz_ref, split_ref, tri_ref, *refs,
+    radius, nsample, feats, has_src, use_xyz, src_c, cdtype,
+):
+    """refs order after the fixed four: [srcp?], W0x (use_xyz), W0f or W0,
+    b0, W1, b1, ..., then outputs (out_ref, idx_ref)."""
+    pos = 0
+    srcp_ref = None
+    if has_src:
+        srcp_ref = refs[pos]; pos += 1
+    w0x_ref = None
+    if use_xyz and has_src:
+        w0x_ref = refs[pos]; pos += 1
+    w0_ref = refs[pos]; pos += 1
+    b0_ref = refs[pos]; pos += 1
+    wb = refs[pos : pos + 2 * (len(feats) - 1)]
+    out_ref, idx_ref = refs[-2], refs[-1]
+
+    x = xyz_ref[0, 0, :][None, :]  # [1, N]
+    y = xyz_ref[0, 1, :][None, :]
+    z = xyz_ref[0, 2, :][None, :]
+    q = new_xyz_ref[0]  # [T, 3]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    n = x.shape[-1]
+    tile = q.shape[0]
+
+    # ---- ball selection (identical math to _ball_group_kernel) ----
+    d2 = (qx - x) ** 2 + (qy - y) ** 2 + (qz - z) ** 2  # [T, N]
+    hit = d2 < radius * radius  # no-sqrt hit test (exact, see ballquery)
+    cnt_total = jnp.sum(hit.astype(jnp.int32), axis=1)  # [T]
+    rank = _rank_inclusive(hit, tri_ref[...])
+    slot = jnp.where(hit, rank, jnp.float32(0.0))  # 1-based slot per hit
+
+    split = split_ref[0]  # [N, 16] bf16 packed x0 y0 z0 x1 y1 z1 x2 y2 z2 c0 c1
+
+    def slot_ext(kf):
+        selb = jnp.where(slot == kf, 1.0, 0.0).astype(jnp.bfloat16)
+        return lax.dot_general(
+            selb, split, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, 16]
+
+    exts = [slot_ext(jnp.float32(k + 1)) for k in range(nsample)]
+
+    # Padding: repeat the first hit; zero-hit rows take point 0 (centered).
+    # Everything stays 2-D [T, 1] lane slices so the K-leading stacks below
+    # collapse layout-preserving (a [KC, T] -> [KC*T, 1] reshape would move
+    # lanes into sublanes — a Mosaic relayout).
+    has = (cnt_total > 0)[:, None]  # [T, 1]
+    e0 = exts[0]
+    fx = jnp.where(has, e0[:, 0:1] + e0[:, 3:4] + e0[:, 6:7], x[0, 0])
+    fy = jnp.where(has, e0[:, 1:2] + e0[:, 4:5] + e0[:, 7:8], y[0, 0])
+    fz = jnp.where(has, e0[:, 2:3] + e0[:, 5:6] + e0[:, 8:9], z[0, 0])
+    fi = jnp.where(has, e0[:, 9:10] + e0[:, 10:11], 0.0)
+
+    coords = []  # per slot: [T, 3] centered padded coordinates
+    idxs = []  # per slot: [T, 1] padded int32 index
+    cnt2 = cnt_total[:, None]  # [T, 1]
+    for k in range(nsample):
+        e = exts[k]
+        v = k < cnt2  # [T, 1]
+        gx = jnp.where(v, e[:, 0:1] + e[:, 3:4] + e[:, 6:7], fx) - qx
+        gy = jnp.where(v, e[:, 1:2] + e[:, 4:5] + e[:, 7:8], fy) - qy
+        gz = jnp.where(v, e[:, 2:3] + e[:, 5:6] + e[:, 8:9], fz) - qz
+        coords.append(jnp.concatenate([gx, gy, gz], axis=1))  # [T, 3]
+        idxs.append(
+            jnp.where(v, e[:, 9:10] + e[:, 10:11], fi).astype(jnp.int32)
+        )
+
+    idx_ref[0, :, :] = jnp.concatenate(idxs, axis=1)  # [T, K]
+
+    # ---- folded-BN MLP + max-pool, in K-leading slot chunks ----
+    # (samlp_kernel formulation: collapse [KC, T, *] -> [KC*T, *] rows so
+    # every matmul is big; KC keeps rows ~<= 2048 and bounds the one-hot.)
+    kc = 1
+    for cand in range(1, nsample + 1):
+        if nsample % cand == 0 and cand * tile <= 2048:
+            kc = cand
+    rows = kc * tile
+    acc = jnp.full((tile, feats[-1]), -jnp.inf, jnp.float32)
+    if has_src:
+        srcp = srcp_ref[0]  # [N, terms*src_c] bf16
+        iota_n = lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+
+    for chunk in range(nsample // kc):
+        sl = slice(chunk * kc, (chunk + 1) * kc)
+        h = None
+        if has_src:
+            # [KC, T, 1] -> [KC*T, 1]: leading-dim merge, layout-preserving.
+            idxk = jnp.stack(idxs[sl], axis=0).reshape(rows, 1)
+            oh = (iota_n == idxk).astype(jnp.bfloat16)  # [KC*T, N]
+            g = _split_matmul(oh, srcp, src_c)  # [KC*T, src_c] f32 exact
+            h = jnp.dot(
+                g.astype(cdtype), w0_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+        if use_xyz or not has_src:
+            c3 = jnp.stack(coords[sl], axis=0).reshape(rows, 3)
+            wx = w0x_ref[...] if w0x_ref is not None else w0_ref[...]
+            hx = jnp.dot(
+                c3.astype(cdtype), wx, preferred_element_type=jnp.float32
+            )
+            h = hx if h is None else h + hx
+        h = jnp.maximum(h + b0_ref[0], 0.0)
+        for i in range(len(feats) - 1):
+            w_ref, b_ref = wb[2 * i], wb[2 * i + 1]
+            h = jnp.dot(
+                h.astype(cdtype), w_ref[...], preferred_element_type=jnp.float32
+            )
+            h = jnp.maximum(h + b_ref[0], 0.0)
+        acc = jnp.maximum(acc, jnp.max(h.reshape(kc, tile, feats[-1]), axis=0))
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7, 8))
+def _sa_ball_mlp_call(
+    radius, nsample, xyz, new_xyz, src, weights_and_biases,
+    feats: tuple, use_xyz: bool, interpret: bool,
+):
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    has_src = src is not None
+    cdtype = weights_and_biases[0].dtype
+    tile = m
+    for cand in (128, 64, 32, 16, 8, 4, 2, 1):
+        if m % cand == 0:
+            tile = cand
+            break
+
+    xyz_f = xyz.astype(jnp.float32)
+    xyz_t = jnp.transpose(xyz_f, (0, 2, 1))  # [B, 3, N]
+    split, tri, w = _split_and_tri(xyz_f, b, n)
+
+    inputs = [xyz_t, new_xyz.astype(jnp.float32), split, tri]
+    in_specs = [
+        pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 16), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((w, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    src_c = 0
+    if has_src:
+        if use_xyz:
+            src_c = weights_and_biases[1].shape[0]
+        else:
+            src_c = weights_and_biases[0].shape[0]
+        srcp = src if src.dtype == jnp.bfloat16 else bf16_pack_traced(
+            src.astype(jnp.float32)
+        )
+        inputs.append(srcp)
+        cp = srcp.shape[-1]
+        in_specs.append(pl.BlockSpec(
+            (1, n, cp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ))
+    for wab in weights_and_biases:
+        arr = wab.astype(cdtype) if wab.ndim == 2 else wab.astype(jnp.float32)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        inputs.append(arr)
+        in_specs.append(pl.BlockSpec(
+            arr.shape, (lambda i, j: (0, 0)), memory_space=pltpu.VMEM
+        ))
+
+    kernel = functools.partial(
+        _safused_kernel, radius=radius, nsample=nsample, feats=feats,
+        has_src=has_src, use_xyz=use_xyz, src_c=src_c, cdtype=cdtype,
+    )
+    out, idx = pl.pallas_call(
+        kernel,
+        grid=(b, m // tile),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (1, tile, feats[-1]), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile, nsample), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, feats[-1]), cdtype),
+            jax.ShapeDtypeStruct((b, m, nsample), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*inputs)
+    return out, idx
+
+
+def sa_ball_mlp_pool(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    src_feats: jnp.ndarray | None,
+    weights: list,
+    biases: list,
+    use_xyz: bool = True,
+    dtype=jnp.float32,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused ball-select + gather + folded-BN MLP + max-pool.
+
+    xyz: [B, N, 3] cloud; new_xyz: [B, M, 3] query centroids (from FPS);
+    src_feats: [B, N, C] point features or None; weights/biases: folded
+    per-layer Dense params (samlp_kernel.fold_bn_mlp_params), layer-0 rows
+    in the SSG concat order [xyz(3), feats(C)].  Requires nsample <= 64
+    (unrolled slots).  Returns (pooled [B, M, feats[-1]] in ``dtype``,
+    idx [B, M, nsample] int32) — bit-parity with the two-kernel chain
+    query_ball_group_pallas + sa_mlp_pool (tested)."""
+    assert nsample <= 64, "fused SA layer keeps the two-kernel chain at K>64"
+    has_src = src_feats is not None
+    feats = tuple(int(w.shape[1]) for w in weights)
+
+    wab = []
+    w0 = weights[0]
+    if use_xyz and has_src:
+        wab.append(w0[:3])   # W0x
+        wab.append(w0[3:])   # W0f
+    else:
+        wab.append(w0)
+    wab.append(biases[0])
+    for w_, b_ in zip(weights[1:], biases[1:]):
+        wab.append(w_)
+        wab.append(b_)
+    cdtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    wab = tuple(a.astype(cdtype) if a.ndim == 2 else a for a in wab)
+
+    src = None
+    if has_src:
+        src = src_feats.astype(cdtype)
+    return _sa_ball_mlp_call(
+        radius, nsample, xyz, new_xyz, src, wab, feats, use_xyz, interpret
+    )

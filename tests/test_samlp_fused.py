@@ -152,6 +152,89 @@ class TestFusedSAEval:
         )
 
 
+class TestFullyFusedBallMLP:
+    """The fully-fused ball-select+gather+MLP+pool kernel
+    (ops/pallas/safused_kernel.py) must be BIT-exact vs the two-kernel
+    chain (query_ball_group_pallas -> sa_mlp_pool) it replaces — same
+    selection math, same matmul order, no HBM round trip in between."""
+
+    @staticmethod
+    def _weights(rng, shapes):
+        ws = [
+            jnp.asarray(rng.randn(*s).astype(np.float32) * 0.2)
+            for s in shapes
+        ]
+        bs = [
+            jnp.asarray(rng.randn(s[1]).astype(np.float32) * 0.1)
+            for s in shapes
+        ]
+        return ws, bs
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_coords_only_matches_chain(self, rng, dtype):
+        from scanobjectnn_tpu.ops.pallas.ballquery_kernel import (
+            query_ball_group_pallas,
+        )
+        from scanobjectnn_tpu.ops.pallas.safused_kernel import sa_ball_mlp_pool
+        from scanobjectnn_tpu.ops.pallas.samlp_kernel import sa_mlp_pool
+
+        xyz = jnp.asarray(rng.randn(3, 256, 3).astype(np.float32) * 0.5)
+        q = xyz[:, :64, :]
+        ws, bs = self._weights(rng, [(3, 8), (8, 16)])
+        grouped, idx, _ = query_ball_group_pallas(0.4, 16, xyz, q, True)
+        want = sa_mlp_pool(grouped, None, None, ws, bs, dtype=dtype,
+                           interpret=True)
+        got, gidx = sa_ball_mlp_pool(0.4, 16, xyz, q, None, ws, bs,
+                                     dtype=dtype, interpret=True)
+        np.testing.assert_array_equal(np.asarray(gidx), np.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("use_xyz", [True, False])
+    def test_with_features_matches_chain(self, rng, use_xyz):
+        from scanobjectnn_tpu.ops.pallas.ballquery_kernel import (
+            query_ball_group_pallas,
+        )
+        from scanobjectnn_tpu.ops.pallas.safused_kernel import sa_ball_mlp_pool
+        from scanobjectnn_tpu.ops.pallas.samlp_kernel import sa_mlp_pool
+
+        xyz = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.5)
+        q = xyz[:, :64, :]
+        src = jnp.asarray(rng.randn(2, 256, 8).astype(np.float32))
+        c_in = (3 + 8) if use_xyz else 8
+        ws, bs = self._weights(rng, [(c_in, 8), (8, 16)])
+        grouped, idx, _ = query_ball_group_pallas(0.4, 16, xyz, q, True)
+        want = sa_mlp_pool(grouped if use_xyz else None, idx, src, ws, bs,
+                           dtype=jnp.float32, interpret=True)
+        got, gidx = sa_ball_mlp_pool(0.4, 16, xyz, q, src, ws, bs,
+                                     use_xyz=use_xyz, dtype=jnp.float32,
+                                     interpret=True)
+        np.testing.assert_array_equal(np.asarray(gidx), np.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_empty_rows_pad_like_reference(self, rng):
+        """Queries with zero in-radius points pad with point 0 (centered),
+        idx 0 — the reference CUDA semantics (tf_grouping_g.cu:3-36) that
+        the lax path and ball-group kernel already pin."""
+        from scanobjectnn_tpu.ops.pallas.ballquery_kernel import (
+            query_ball_group_pallas,
+        )
+        from scanobjectnn_tpu.ops.pallas.safused_kernel import sa_ball_mlp_pool
+        from scanobjectnn_tpu.ops.pallas.samlp_kernel import sa_mlp_pool
+
+        xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 2.0)
+        # far-away queries: every row empty
+        q = jnp.asarray(rng.randn(2, 32, 3).astype(np.float32) + 50.0)
+        ws, bs = self._weights(rng, [(3, 8), (8, 8)])
+        grouped, idx, _ = query_ball_group_pallas(0.1, 8, xyz, q, True)
+        assert (np.asarray(idx) == 0).all()
+        want = sa_mlp_pool(grouped, None, None, ws, bs, dtype=jnp.float32,
+                           interpret=True)
+        got, gidx = sa_ball_mlp_pool(0.1, 8, xyz, q, None, ws, bs,
+                                     dtype=jnp.float32, interpret=True)
+        np.testing.assert_array_equal(np.asarray(gidx), np.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_bf16_pack_traced_exact_under_jit():
     """bf16_pack_traced must keep the residual terms live under jit: the
     astype-based split (_bf16_pack) is folded to identity by XLA's
