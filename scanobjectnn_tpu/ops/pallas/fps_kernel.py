@@ -127,6 +127,11 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int, interpret: bool = False) -> jnp.nd
             pltpu.VMEM((b, n), jnp.float32),
             pltpu.VMEM((npoint, b), jnp.int32),
         ],
+        # Whole-array blocks: B >= ~200 at N=2048 exceeds the default 16 MB
+        # scoped-VMEM limit (measured OOM at B=256); v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xyz_t)
     return lax.stop_gradient(idx)
@@ -170,6 +175,9 @@ def fps_pallas_with_coords(
             pltpu.VMEM((b, n), jnp.float32),
             pltpu.VMEM((npoint, b), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xyz_t)
     new_xyz = jnp.stack([cx, cy, cz], axis=-1)
