@@ -354,17 +354,74 @@ class SAModuleMSG(nn.Module):
         train: bool = False,
         bn_momentum=0.9,
     ):
-        fps_idx = ops.farthest_point_sample(xyz, self.npoint)
-        new_xyz = ops.gather_point(xyz, fps_idx)
+        # Eval-time fully-fused scales: ball select + gather + folded-BN
+        # MLP + max-pool in one kernel per K<=64 scale (safused_kernel.py;
+        # K=128 scales keep the unfused chain).  Same gating as SAModule's
+        # fused branch; LiftedGroupMLP's param tree is MLP-compatible, so
+        # fold_bn_mlp_params folds either formulation's params.
+        fused_eval = (
+            not train
+            and not self.is_initializing()
+            and _fused_sa_eval_mode() is not None
+            and self.npoint % 8 == 0
+            and xyz.shape[1] % 8 == 0
+        )
+        if fused_eval:
+            fps_idx, new_xyz = ops.farthest_point_sample_with_coords(
+                xyz, self.npoint
+            )
+        else:
+            fps_idx = ops.farthest_point_sample(xyz, self.npoint)
+            new_xyz = ops.gather_point(xyz, fps_idx)
         # All scales query the same (xyz, new_xyz) pair (see
         # ops.query_ball_group_multi for the measured fusion story).
-        groups = ops.query_ball_group_multi(
-            self.radius_list, self.nsample_list, xyz, new_xyz
-        )
+        chain_scales = [
+            i for i, k in enumerate(self.nsample_list)
+            if not (fused_eval and k <= 64)
+        ]
+        groups = {}
+        if len(chain_scales) == len(self.nsample_list):
+            groups = dict(enumerate(ops.query_ball_group_multi(
+                self.radius_list, self.nsample_list, xyz, new_xyz
+            )))
+        else:
+            for i in chain_scales:
+                groups[i] = ops.query_ball_group(
+                    self.radius_list[i], self.nsample_list[i], xyz, new_xyz
+                )
         scale_feats = []
         for i, (radius, nsample, mlp) in enumerate(
             zip(self.radius_list, self.nsample_list, self.mlp_list)
         ):
+            if fused_eval and nsample <= 64:
+                from scanobjectnn_tpu.ops.pallas.safused_kernel import (
+                    sa_ball_mlp_pool,
+                )
+                from scanobjectnn_tpu.ops.pallas.samlp_kernel import (
+                    fold_bn_mlp_params,
+                )
+
+                weights, biases = fold_bn_mlp_params(
+                    self.variables["params"][f"mlp_scale{i}"],
+                    self.variables["batch_stats"][f"mlp_scale{i}"]
+                    if self.bn else None,
+                    n_layers=len(mlp),
+                )
+                pooled, _ = sa_ball_mlp_pool(
+                    radius,
+                    nsample,
+                    xyz,
+                    new_xyz,
+                    points,
+                    weights,
+                    biases,
+                    use_xyz=self.use_xyz,
+                    xyz_first=False,  # MSG concat order is [feats, xyz]
+                    dtype=self.dtype or xyz.dtype,
+                    interpret=_fused_sa_eval_mode() == "interpret",
+                )
+                scale_feats.append(pooled)
+                continue
             grouped_xyz, idx, _ = groups[i]
             if (
                 points is not None

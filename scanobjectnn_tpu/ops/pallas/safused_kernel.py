@@ -55,21 +55,23 @@ __all__ = ["sa_ball_mlp_pool"]
 
 def _safused_kernel(
     xyz_ref, new_xyz_ref, split_ref, tri_ref, *refs,
-    radius, nsample, feats, has_src, use_xyz, src_c, cdtype,
+    radius, nsample, feats, has_src, use_xyz, src_c, cdtype, prelifted,
 ):
-    """refs order after the fixed four: [srcp?], W0x (use_xyz), W0f or W0,
-    b0, W1, b1, ..., then outputs (out_ref, idx_ref)."""
+    """refs order after the fixed four: [srcp?], W0x (use_xyz), W0f or W0
+    (absent when prelifted: srcp already carries feats @ W0f), b0, W1, b1,
+    ..., then outputs (out_ref, idx_ref)."""
     pos = 0
     srcp_ref = None
     if has_src:
         srcp_ref = refs[pos]; pos += 1
     w0x_ref = None
-    if use_xyz and has_src:
+    if use_xyz and has_src and not prelifted:
         w0x_ref = refs[pos]; pos += 1
     w0_ref = refs[pos]; pos += 1
     b0_ref = refs[pos]; pos += 1
     wb = refs[pos : pos + 2 * (len(feats) - 1)]
     out_ref, idx_ref = refs[-2], refs[-1]
+    # prelifted: w0_ref IS W0x (the only layer-0 matmul left in-kernel).
 
     x = xyz_ref[0, 0, :][None, :]  # [1, N]
     y = xyz_ref[0, 1, :][None, :]
@@ -145,10 +147,13 @@ def _safused_kernel(
             idxk = jnp.stack(idxs[sl], axis=0).reshape(rows, 1)
             oh = (iota_n == idxk).astype(jnp.bfloat16)  # [KC*T, N]
             g = _split_matmul(oh, srcp, src_c)  # [KC*T, src_c] f32 exact
-            h = jnp.dot(
-                g.astype(cdtype), w0_ref[...],
-                preferred_element_type=jnp.float32,
-            )
+            if prelifted:
+                h = g  # srcp already carries feats @ W0f (per-point lift)
+            else:
+                h = jnp.dot(
+                    g.astype(cdtype), w0_ref[...],
+                    preferred_element_type=jnp.float32,
+                )
         if use_xyz or not has_src:
             c3 = jnp.stack(coords[sl], axis=0).reshape(rows, 3)
             wx = w0x_ref[...] if w0x_ref is not None else w0_ref[...]
@@ -167,10 +172,10 @@ def _safused_kernel(
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7, 8, 9))
 def _sa_ball_mlp_call(
     radius, nsample, xyz, new_xyz, src, weights_and_biases,
-    feats: tuple, use_xyz: bool, interpret: bool,
+    feats: tuple, use_xyz: bool, prelifted: bool, interpret: bool,
 ):
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
@@ -195,7 +200,9 @@ def _sa_ball_mlp_call(
     ]
     src_c = 0
     if has_src:
-        if use_xyz:
+        if prelifted:
+            src_c = src.shape[-1]  # already feats @ W0f = C_mid channels
+        elif use_xyz:
             src_c = weights_and_biases[1].shape[0]
         else:
             src_c = weights_and_biases[0].shape[0]
@@ -219,6 +226,7 @@ def _sa_ball_mlp_call(
     kernel = functools.partial(
         _safused_kernel, radius=radius, nsample=nsample, feats=feats,
         has_src=has_src, use_xyz=use_xyz, src_c=src_c, cdtype=cdtype,
+        prelifted=prelifted,
     )
     out, idx = pl.pallas_call(
         kernel,
@@ -255,6 +263,7 @@ def sa_ball_mlp_pool(
     weights: list,
     biases: list,
     use_xyz: bool = True,
+    xyz_first: bool = True,
     dtype=jnp.float32,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -262,32 +271,56 @@ def sa_ball_mlp_pool(
 
     xyz: [B, N, 3] cloud; new_xyz: [B, M, 3] query centroids (from FPS);
     src_feats: [B, N, C] point features or None; weights/biases: folded
-    per-layer Dense params (samlp_kernel.fold_bn_mlp_params), layer-0 rows
-    in the SSG concat order [xyz(3), feats(C)].  Requires nsample <= 64
-    (unrolled slots).  Returns (pooled [B, M, feats[-1]] in ``dtype``,
-    idx [B, M, nsample] int32) — bit-parity with the two-kernel chain
-    query_ball_group_pallas + sa_mlp_pool (tested)."""
+    per-layer Dense params (samlp_kernel.fold_bn_mlp_params).  Layer-0 row
+    order follows the module's concat convention: ``xyz_first=True`` is the
+    SSG order [xyz(3), feats(C)] (pointnet_util.py:44-47), False the MSG
+    order [feats(C), xyz(3)] (pointnet_util.py:176-177).  Requires
+    nsample <= 64 (unrolled slots).  Returns (pooled [B, M, feats[-1]] in
+    ``dtype``, idx [B, M, nsample] int32) — bit-parity with the two-kernel
+    chain query_ball_group_pallas + sa_mlp_pool (tested).
+
+    When the feature width exceeds the first layer (C > feats[0]) and
+    use_xyz, the Dense-0 feature half is LIFTED per-point outside the
+    kernel (the LiftedGroupMLP identity: gather(feats @ W0f) ==
+    gather(feats) @ W0f), so the in-kernel one-hot gather moves feats[0]
+    channels instead of C — 5x narrower at MSG SA2 scale widths (C=323 vs
+    C_mid=64; the un-lifted fused form measured SLOWER than the chain in
+    f32 there: 15.6 vs 14.7 ms full MSG eval)."""
     assert nsample <= 64, "fused SA layer keeps the two-kernel chain at K>64"
     has_src = src_feats is not None
     feats = tuple(int(w.shape[1]) for w in weights)
+    cdtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    prelifted = bool(
+        has_src and use_xyz and src_feats.shape[-1] > feats[0]
+    )
 
     wab = []
     w0 = weights[0]
+    src = None
     if use_xyz and has_src:
-        wab.append(w0[:3])   # W0x
-        wab.append(w0[3:])   # W0f
+        w0x = w0[:3] if xyz_first else w0[-3:]
+        w0f = w0[3:] if xyz_first else w0[:-3]
+        if prelifted:
+            wab.append(w0x)  # the kernel's only layer-0 weight
+            src = jnp.dot(
+                src_feats.astype(cdtype), w0f.astype(cdtype),
+                preferred_element_type=jnp.float32,
+            ).astype(cdtype)
+        else:
+            wab.append(w0x)
+            wab.append(w0f)
+            src = src_feats.astype(cdtype)
     else:
         wab.append(w0)
+        if has_src:
+            src = src_feats.astype(cdtype)
     wab.append(biases[0])
     for w_, b_ in zip(weights[1:], biases[1:]):
         wab.append(w_)
         wab.append(b_)
-    cdtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     wab = tuple(a.astype(cdtype) if a.ndim == 2 else a for a in wab)
 
-    src = None
-    if has_src:
-        src = src_feats.astype(cdtype)
     return _sa_ball_mlp_call(
-        radius, nsample, xyz, new_xyz, src, wab, feats, use_xyz, interpret
+        radius, nsample, xyz, new_xyz, src, wab, feats, use_xyz, prelifted,
+        interpret
     )

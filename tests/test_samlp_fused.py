@@ -152,6 +152,75 @@ class TestFusedSAEval:
         )
 
 
+class TestFusedMSGEval:
+    """SAModuleMSG's eval-time fused scales (K<=64 -> safused kernel,
+    K>64 -> unfused chain) must reproduce the unfused module output —
+    including the MSG [feats, xyz] concat order (xyz_first=False) and the
+    LiftedGroupMLP-parameterized scales (MLP-compatible tree fold)."""
+
+    def _run_both(self, monkeypatch, module, xyz, points, stats_rng=None):
+        variables = module.init(
+            jax.random.PRNGKey(0), xyz, points, train=False
+        )
+        if stats_rng is not None:
+            variables = _trained_stats(variables, stats_rng)
+        monkeypatch.setenv("SCANOBJECTNN_FUSED_SA_EVAL", "0")
+        ref = module.apply(variables, xyz, points, train=False)
+        monkeypatch.setenv("SCANOBJECTNN_FUSED_SA_EVAL", "interpret")
+        got = module.apply(variables, xyz, points, train=False)
+        return ref, got
+
+    def test_msg_l1_no_points_mixed_k(self, rng, monkeypatch):
+        from scanobjectnn_tpu.nn.pointnet_modules import SAModuleMSG
+
+        xyz = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.5)
+        m = SAModuleMSG(
+            npoint=64,
+            radius_list=(0.2, 0.4, 0.8),
+            nsample_list=(8, 16, 96),  # 96 > 64: that scale keeps the chain
+            mlp_list=((8, 16), (8, 16), (8, 16)),
+        )
+        ref, got = self._run_both(monkeypatch, m, xyz, None, stats_rng=rng)
+        np.testing.assert_allclose(
+            np.asarray(ref[1]), np.asarray(got[1]), rtol=2e-4, atol=2e-5
+        )
+
+    def test_msg_l2_with_points_lifted_scale(self, rng, monkeypatch):
+        """points wide enough that the training path lifts the first Dense
+        (C_in + 3 > mlp[0]) — eval fold must still match."""
+        from scanobjectnn_tpu.nn.pointnet_modules import SAModuleMSG
+
+        xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.5)
+        pts = jnp.asarray(rng.randn(2, 128, 24).astype(np.float32))
+        m = SAModuleMSG(
+            npoint=32,
+            radius_list=(0.3, 0.6),
+            nsample_list=(8, 16),
+            mlp_list=((8, 16), (8, 16)),  # 24+3 > 8 -> lifted in training
+        )
+        ref, got = self._run_both(monkeypatch, m, xyz, pts, stats_rng=rng)
+        np.testing.assert_allclose(
+            np.asarray(ref[1]), np.asarray(got[1]), rtol=2e-4, atol=2e-5
+        )
+
+    def test_msg_use_xyz_false(self, rng, monkeypatch):
+        from scanobjectnn_tpu.nn.pointnet_modules import SAModuleMSG
+
+        xyz = jnp.asarray(rng.randn(1, 128, 3).astype(np.float32) * 0.5)
+        pts = jnp.asarray(rng.randn(1, 128, 8).astype(np.float32))
+        m = SAModuleMSG(
+            npoint=32,
+            radius_list=(0.4,),
+            nsample_list=(8,),
+            mlp_list=((16, 16),),
+            use_xyz=False,
+        )
+        ref, got = self._run_both(monkeypatch, m, xyz, pts, stats_rng=rng)
+        np.testing.assert_allclose(
+            np.asarray(ref[1]), np.asarray(got[1]), rtol=2e-4, atol=2e-5
+        )
+
+
 class TestFullyFusedBallMLP:
     """The fully-fused ball-select+gather+MLP+pool kernel
     (ops/pallas/safused_kernel.py) must be BIT-exact vs the two-kernel
@@ -210,6 +279,40 @@ class TestFullyFusedBallMLP:
                                      interpret=True)
         np.testing.assert_array_equal(np.asarray(gidx), np.asarray(idx))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("xyz_first", [True, False])
+    def test_prelifted_wide_features(self, rng, xyz_first):
+        """C > feats[0] triggers the per-point Dense-0 lift (gather moves
+        feats[0] channels, not C).  Same values as the chain up to f32
+        summation regrouping (the LiftedGroupMLP identity), NOT bit-exact."""
+        from scanobjectnn_tpu.ops.pallas.ballquery_kernel import (
+            query_ball_group_pallas,
+        )
+        from scanobjectnn_tpu.ops.pallas.safused_kernel import sa_ball_mlp_pool
+        from scanobjectnn_tpu.ops.pallas.samlp_kernel import sa_mlp_pool
+
+        xyz = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.5)
+        q = xyz[:, :64, :]
+        src = jnp.asarray(rng.randn(2, 256, 24).astype(np.float32))
+        c_in = 24 + 3
+        w0 = rng.randn(c_in, 8).astype(np.float32) * 0.2
+        if not xyz_first:
+            w0 = np.concatenate([w0[3:], w0[:3]], axis=0)  # [feats, xyz]
+        ws = [jnp.asarray(w0), jnp.asarray(rng.randn(8, 16).astype(np.float32) * 0.2)]
+        bs = [jnp.asarray(rng.randn(c).astype(np.float32) * 0.1) for c in (8, 16)]
+
+        # chain oracle in the SSG [xyz, feats] order
+        ws_ssg = [jnp.asarray(np.concatenate([w0[-3:], w0[:-3]], axis=0))
+                  if not xyz_first else ws[0], ws[1]]
+        grouped, idx, _ = query_ball_group_pallas(0.4, 16, xyz, q, True)
+        want = sa_mlp_pool(grouped, idx, src, ws_ssg, bs, dtype=jnp.float32,
+                           interpret=True)
+        got, _ = sa_ball_mlp_pool(0.4, 16, xyz, q, src, ws, bs,
+                                  xyz_first=xyz_first, dtype=jnp.float32,
+                                  interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
 
     def test_empty_rows_pad_like_reference(self, rng):
         """Queries with zero in-radius points pad with point 0 (centered),
