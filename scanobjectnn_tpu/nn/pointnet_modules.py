@@ -50,6 +50,43 @@ def _fused_sa_eval_mode() -> str | None:
     return "tpu" if _use_pallas() else None
 
 
+def _fused_ball_scale(
+    mlp_params,
+    mlp_stats,
+    n_layers: int,
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    points: jnp.ndarray | None,
+    use_xyz: bool,
+    xyz_first: bool,
+    dtype,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One fully-fused eval-time ball-grouped SA scale: fold the eval-mode
+    BN into the Dense weights and run ball select + gather + MLP + max-pool
+    in a single kernel.  Shared by SAModule (SSG order, xyz_first=True) and
+    SAModuleMSG (per K<=64 scale, xyz_first=False) so the gating/fold/call
+    recipe cannot drift between them.  Returns (pooled, idx)."""
+    from scanobjectnn_tpu.ops.pallas.safused_kernel import sa_ball_mlp_pool
+    from scanobjectnn_tpu.ops.pallas.samlp_kernel import fold_bn_mlp_params
+
+    weights, biases = fold_bn_mlp_params(mlp_params, mlp_stats, n_layers)
+    return sa_ball_mlp_pool(
+        radius,
+        nsample,
+        xyz,
+        new_xyz,
+        points,
+        weights,
+        biases,
+        use_xyz=use_xyz,
+        xyz_first=xyz_first,
+        dtype=dtype,
+        interpret=_fused_sa_eval_mode() == "interpret",
+    )
+
+
 def sample_and_group(
     npoint: int,
     radius: float,
@@ -161,34 +198,32 @@ class SAModule(nn.Module):
             fps_idx, new_xyz = ops.farthest_point_sample_with_coords(
                 xyz, self.npoint
             )
-            weights, biases = fold_bn_mlp_params(
-                self.variables["params"]["mlp"],
-                self.variables["batch_stats"]["mlp"] if self.bn else None,
-                n_layers=len(self.mlp),
+            mlp_stats = (
+                self.variables["batch_stats"]["mlp"] if self.bn else None
             )
-            interpret = _fused_sa_eval_mode() == "interpret"
             if not self.knn and self.nsample <= 64:
                 # Fully-fused layer: ball select + gather + MLP + pool in
                 # ONE kernel — grouped coords/idx never round-trip HBM
                 # (measured −2.8 ms SA1, −2.8 ms SA2 at B=128 vs the
                 # two-kernel chain; bit-exact parity on-chip).
-                from scanobjectnn_tpu.ops.pallas.safused_kernel import (
-                    sa_ball_mlp_pool,
-                )
-
-                pooled, idx = sa_ball_mlp_pool(
+                pooled, idx = _fused_ball_scale(
+                    self.variables["params"]["mlp"],
+                    mlp_stats,
+                    len(self.mlp),
                     self.radius,
                     self.nsample,
                     xyz,
                     new_xyz,
                     points,
-                    weights,
-                    biases,
                     use_xyz=self.use_xyz,
+                    xyz_first=True,
                     dtype=self.dtype or xyz.dtype,
-                    interpret=interpret,
                 )
             else:
+                weights, biases = fold_bn_mlp_params(
+                    self.variables["params"]["mlp"], mlp_stats,
+                    n_layers=len(self.mlp),
+                )
                 if self.knn:
                     _, idx = ops.knn_point(self.nsample, xyz, new_xyz)
                     grouped_xyz = (
@@ -205,7 +240,7 @@ class SAModule(nn.Module):
                     weights,
                     biases,
                     dtype=self.dtype or xyz.dtype,
-                    interpret=interpret,
+                    interpret=_fused_sa_eval_mode() == "interpret",
                 )
             if self.mlp2:
                 pooled = MLP(
@@ -373,52 +408,34 @@ class SAModuleMSG(nn.Module):
         else:
             fps_idx = ops.farthest_point_sample(xyz, self.npoint)
             new_xyz = ops.gather_point(xyz, fps_idx)
-        # All scales query the same (xyz, new_xyz) pair (see
+        # All scales query the same (xyz, new_xyz) pair; per-radius calls —
+        # a fused multi-radius kernel measured a wash (see
         # ops.query_ball_group_multi for the measured fusion story).
-        chain_scales = [
-            i for i, k in enumerate(self.nsample_list)
+        groups = {
+            i: ops.query_ball_group(
+                self.radius_list[i], self.nsample_list[i], xyz, new_xyz
+            )
+            for i, k in enumerate(self.nsample_list)
             if not (fused_eval and k <= 64)
-        ]
-        groups = {}
-        if len(chain_scales) == len(self.nsample_list):
-            groups = dict(enumerate(ops.query_ball_group_multi(
-                self.radius_list, self.nsample_list, xyz, new_xyz
-            )))
-        else:
-            for i in chain_scales:
-                groups[i] = ops.query_ball_group(
-                    self.radius_list[i], self.nsample_list[i], xyz, new_xyz
-                )
+        }
         scale_feats = []
         for i, (radius, nsample, mlp) in enumerate(
             zip(self.radius_list, self.nsample_list, self.mlp_list)
         ):
             if fused_eval and nsample <= 64:
-                from scanobjectnn_tpu.ops.pallas.safused_kernel import (
-                    sa_ball_mlp_pool,
-                )
-                from scanobjectnn_tpu.ops.pallas.samlp_kernel import (
-                    fold_bn_mlp_params,
-                )
-
-                weights, biases = fold_bn_mlp_params(
+                pooled, _ = _fused_ball_scale(
                     self.variables["params"][f"mlp_scale{i}"],
                     self.variables["batch_stats"][f"mlp_scale{i}"]
                     if self.bn else None,
-                    n_layers=len(mlp),
-                )
-                pooled, _ = sa_ball_mlp_pool(
+                    len(mlp),
                     radius,
                     nsample,
                     xyz,
                     new_xyz,
                     points,
-                    weights,
-                    biases,
                     use_xyz=self.use_xyz,
                     xyz_first=False,  # MSG concat order is [feats, xyz]
                     dtype=self.dtype or xyz.dtype,
-                    interpret=_fused_sa_eval_mode() == "interpret",
                 )
                 scale_feats.append(pooled)
                 continue

@@ -180,5 +180,8 @@ def fps_pallas_with_coords(
         ),
         interpret=interpret,
     )(xyz_t)
-    new_xyz = jnp.stack([cx, cy, cz], axis=-1)
+    # Return coords in xyz.dtype (the gather_point contract on both
+    # dispatch paths); the selection state is f32, so the round-trip is
+    # exact for any input dtype that widens losslessly to f32.
+    new_xyz = jnp.stack([cx, cy, cz], axis=-1).astype(xyz.dtype)
     return lax.stop_gradient(idx), lax.stop_gradient(new_xyz)
