@@ -411,18 +411,23 @@ class SAModuleMSG(nn.Module):
         # All scales query the same (xyz, new_xyz) pair; per-radius calls —
         # a fused multi-radius kernel measured a wash (see
         # ops.query_ball_group_multi for the measured fusion story).
+        def _scale_fusable(k: int) -> bool:
+            # K<=64 unrolled or K%16==0 chunked (idx is discarded here, so
+            # the chunked path's idx=None is fine).
+            return k <= 64 or k % 16 == 0
+
         groups = {
             i: ops.query_ball_group(
                 self.radius_list[i], self.nsample_list[i], xyz, new_xyz
             )
             for i, k in enumerate(self.nsample_list)
-            if not (fused_eval and k <= 64)
+            if not (fused_eval and _scale_fusable(k))
         }
         scale_feats = []
         for i, (radius, nsample, mlp) in enumerate(
             zip(self.radius_list, self.nsample_list, self.mlp_list)
         ):
-            if fused_eval and nsample <= 64:
+            if fused_eval and _scale_fusable(nsample):
                 pooled, _ = _fused_ball_scale(
                     self.variables["params"][f"mlp_scale{i}"],
                     self.variables["batch_stats"][f"mlp_scale{i}"]

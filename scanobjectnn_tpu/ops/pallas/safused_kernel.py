@@ -70,7 +70,10 @@ def _safused_kernel(
     w0_ref = refs[pos]; pos += 1
     b0_ref = refs[pos]; pos += 1
     wb = refs[pos : pos + 2 * (len(feats) - 1)]
-    out_ref, idx_ref = refs[-2], refs[-1]
+    if nsample <= 64:
+        out_ref, idx_ref = refs[-2], refs[-1]
+    else:
+        out_ref, idx_ref = refs[-1], None  # K>64 emits no idx (see below)
     # prelifted: w0_ref IS W0x (the only layer-0 matmul left in-kernel).
 
     x = xyz_ref[0, 0, :][None, :]  # [1, N]
@@ -97,54 +100,45 @@ def _safused_kernel(
             preferred_element_type=jnp.float32,
         )  # [T, 16]
 
-    exts = [slot_ext(jnp.float32(k + 1)) for k in range(nsample)]
-
-    # Padding: repeat the first hit; zero-hit rows take point 0 (centered).
-    # Everything stays 2-D [T, 1] lane slices so the K-leading stacks below
-    # collapse layout-preserving (a [KC, T] -> [KC*T, 1] reshape would move
-    # lanes into sublanes — a Mosaic relayout).
+    # Padding terms: repeat the first hit; zero-hit rows take point 0
+    # (centered).  Everything stays 2-D [T, 1] lane slices so the K-leading
+    # stacks below collapse layout-preserving (a [KC, T] -> [KC*T, 1]
+    # reshape would move lanes into sublanes — a Mosaic relayout).
     has = (cnt_total > 0)[:, None]  # [T, 1]
-    e0 = exts[0]
+    e0 = slot_ext(jnp.float32(1.0))
     fx = jnp.where(has, e0[:, 0:1] + e0[:, 3:4] + e0[:, 6:7], x[0, 0])
     fy = jnp.where(has, e0[:, 1:2] + e0[:, 4:5] + e0[:, 7:8], y[0, 0])
     fz = jnp.where(has, e0[:, 2:3] + e0[:, 5:6] + e0[:, 8:9], z[0, 0])
     fi = jnp.where(has, e0[:, 9:10] + e0[:, 10:11], 0.0)
-
-    coords = []  # per slot: [T, 3] centered padded coordinates
-    idxs = []  # per slot: [T, 1] padded int32 index
     cnt2 = cnt_total[:, None]  # [T, 1]
-    for k in range(nsample):
-        e = exts[k]
+
+    def slot_vals(k):
+        """(coords [T, 3] centered padded, idx [T, 1] padded int32) for slot
+        ``k`` (0-based; python int or traced scalar)."""
+        e = slot_ext((k + 1) * jnp.float32(1.0))
         v = k < cnt2  # [T, 1]
         gx = jnp.where(v, e[:, 0:1] + e[:, 3:4] + e[:, 6:7], fx) - qx
         gy = jnp.where(v, e[:, 1:2] + e[:, 4:5] + e[:, 7:8], fy) - qy
         gz = jnp.where(v, e[:, 2:3] + e[:, 5:6] + e[:, 8:9], fz) - qz
-        coords.append(jnp.concatenate([gx, gy, gz], axis=1))  # [T, 3]
-        idxs.append(
-            jnp.where(v, e[:, 9:10] + e[:, 10:11], fi).astype(jnp.int32)
-        )
+        c3 = jnp.concatenate([gx, gy, gz], axis=1)
+        ik = jnp.where(v, e[:, 9:10] + e[:, 10:11], fi).astype(jnp.int32)
+        return c3, ik
 
-    idx_ref[0, :, :] = jnp.concatenate(idxs, axis=1)  # [T, K]
-
-    # ---- folded-BN MLP + max-pool, in K-leading slot chunks ----
+    # ---- folded-BN MLP + max-pool over one KC-slot chunk ----
     # (samlp_kernel formulation: collapse [KC, T, *] -> [KC*T, *] rows so
     # every matmul is big; KC keeps rows ~<= 2048 and bounds the one-hot.)
-    kc = 1
-    for cand in range(1, nsample + 1):
-        if nsample % cand == 0 and cand * tile <= 2048:
-            kc = cand
-    rows = kc * tile
-    acc = jnp.full((tile, feats[-1]), -jnp.inf, jnp.float32)
     if has_src:
         srcp = srcp_ref[0]  # [N, terms*src_c] bf16
-        iota_n = lax.broadcasted_iota(jnp.int32, (rows, n), 1)
 
-    for chunk in range(nsample // kc):
-        sl = slice(chunk * kc, (chunk + 1) * kc)
+    def mlp_chunk(coords_k, idxs_k):
+        """[T, feats[-1]] max-pool over a chunk of per-slot values."""
+        kc = len(coords_k)
+        rows = kc * tile
         h = None
         if has_src:
             # [KC, T, 1] -> [KC*T, 1]: leading-dim merge, layout-preserving.
-            idxk = jnp.stack(idxs[sl], axis=0).reshape(rows, 1)
+            idxk = jnp.stack(idxs_k, axis=0).reshape(rows, 1)
+            iota_n = lax.broadcasted_iota(jnp.int32, (rows, n), 1)
             oh = (iota_n == idxk).astype(jnp.bfloat16)  # [KC*T, N]
             g = _split_matmul(oh, srcp, src_c)  # [KC*T, src_c] f32 exact
             if prelifted:
@@ -155,7 +149,7 @@ def _safused_kernel(
                     preferred_element_type=jnp.float32,
                 )
         if use_xyz or not has_src:
-            c3 = jnp.stack(coords[sl], axis=0).reshape(rows, 3)
+            c3 = jnp.stack(coords_k, axis=0).reshape(rows, 3)
             wx = w0x_ref[...] if w0x_ref is not None else w0_ref[...]
             hx = jnp.dot(
                 c3.astype(cdtype), wx, preferred_element_type=jnp.float32
@@ -168,7 +162,43 @@ def _safused_kernel(
                 h.astype(cdtype), w_ref[...], preferred_element_type=jnp.float32
             )
             h = jnp.maximum(h + b_ref[0], 0.0)
-        acc = jnp.maximum(acc, jnp.max(h.reshape(kc, tile, feats[-1]), axis=0))
+        return jnp.max(h.reshape(kc, tile, feats[-1]), axis=0)
+
+    acc = jnp.full((tile, feats[-1]), -jnp.inf, jnp.float32)
+    if nsample <= 64:
+        # Fully unrolled slots (best ILP, sane compile — the round-3 ball
+        # kernel measurement); idx emitted for the SA-module contract.
+        vals = [slot_vals(k) for k in range(nsample)]
+        idx_ref[0, :, :] = jnp.concatenate([ik for _, ik in vals], axis=1)
+        kc = 1
+        for cand in range(1, nsample + 1):
+            if nsample % cand == 0 and cand * tile <= 2048:
+                kc = cand
+        for chunk in range(nsample // kc):
+            sl = slice(chunk * kc, (chunk + 1) * kc)
+            acc = jnp.maximum(
+                acc,
+                mlp_chunk([c for c, _ in vals[sl]], [ik for _, ik in vals[sl]]),
+            )
+    else:
+        # K > 64: fori_loop over 16-slot unrolled chunks (a fully-unrolled
+        # K=128 program explodes Mosaic compile time — the round-3 ball
+        # kernel lesson).  The slot index is TRACED here, which is fine for
+        # the extraction (slot == k+1 compare) and padding (k < cnt) but
+        # rules out the idx store: a [T, K] lane-offset store at a traced
+        # base is illegal (lane-dim dynamic stores are sublane-only), so
+        # this path does not emit indices — callers that need idx (the SA
+        # module contract) keep K <= 64; MSG's K=128 scales discard idx.
+        chunkw = 16
+
+        def body(j, acc):
+            base = j * chunkw
+            vals = [slot_vals(base + u) for u in range(chunkw)]
+            return jnp.maximum(
+                acc, mlp_chunk([c for c, _ in vals], [ik for _, ik in vals])
+            )
+
+        acc = lax.fori_loop(0, nsample // chunkw, body, acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -228,30 +258,31 @@ def _sa_ball_mlp_call(
         has_src=has_src, use_xyz=use_xyz, src_c=src_c, cdtype=cdtype,
         prelifted=prelifted,
     )
-    out, idx = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(
+            (1, tile, feats[-1]), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, m, feats[-1]), cdtype)]
+    if nsample <= 64:  # K>64 emits no idx (traced-base lane stores illegal)
+        out_specs.append(pl.BlockSpec(
+            (1, tile, nsample), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape.append(jax.ShapeDtypeStruct((b, m, nsample), jnp.int32))
+    outs = pl.pallas_call(
         kernel,
         grid=(b, m // tile),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec(
-                (1, tile, feats[-1]), lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile, nsample), lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, m, feats[-1]), cdtype),
-            jax.ShapeDtypeStruct((b, m, nsample), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*inputs)
-    return out, idx
+    return (outs[0], outs[1]) if nsample <= 64 else (outs[0], None)
 
 
 def sa_ball_mlp_pool(
@@ -274,10 +305,13 @@ def sa_ball_mlp_pool(
     per-layer Dense params (samlp_kernel.fold_bn_mlp_params).  Layer-0 row
     order follows the module's concat convention: ``xyz_first=True`` is the
     SSG order [xyz(3), feats(C)] (pointnet_util.py:44-47), False the MSG
-    order [feats(C), xyz(3)] (pointnet_util.py:176-177).  Requires
-    nsample <= 64 (unrolled slots).  Returns (pooled [B, M, feats[-1]] in
-    ``dtype``, idx [B, M, nsample] int32) — bit-parity with the two-kernel
-    chain query_ball_group_pallas + sa_mlp_pool (tested).
+    order [feats(C), xyz(3)] (pointnet_util.py:176-177).  Returns
+    (pooled [B, M, feats[-1]] in ``dtype``, idx [B, M, nsample] int32) —
+    bit-parity with the two-kernel chain query_ball_group_pallas +
+    sa_mlp_pool (tested).  K <= 64 runs fully-unrolled slots; larger K
+    (a multiple of 16, e.g. MSG's 128) runs a fori_loop over 16-slot
+    unrolled chunks and returns ``idx=None`` (the traced chunk base rules
+    out the lane-offset idx store — callers that need idx keep K <= 64).
 
     When the feature width exceeds the first layer (C > feats[0]) and
     use_xyz, the Dense-0 feature half is LIFTED per-point outside the
@@ -286,7 +320,9 @@ def sa_ball_mlp_pool(
     channels instead of C — 5x narrower at MSG SA2 scale widths (C=323 vs
     C_mid=64; the un-lifted fused form measured SLOWER than the chain in
     f32 there: 15.6 vs 14.7 ms full MSG eval)."""
-    assert nsample <= 64, "fused SA layer keeps the two-kernel chain at K>64"
+    assert nsample <= 64 or nsample % 16 == 0, (
+        "fused SA layer needs K <= 64 (unrolled) or K % 16 == 0 (chunked)"
+    )
     has_src = src_feats is not None
     feats = tuple(int(w.shape[1]) for w in weights)
     cdtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32

@@ -176,9 +176,10 @@ class TestFusedMSGEval:
         xyz = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.5)
         m = SAModuleMSG(
             npoint=64,
-            radius_list=(0.2, 0.4, 0.8),
-            nsample_list=(8, 16, 96),  # 96 > 64: that scale keeps the chain
-            mlp_list=((8, 16), (8, 16), (8, 16)),
+            radius_list=(0.2, 0.4, 0.6, 0.8),
+            # 8/16 unrolled-fused; 80 chunked-fused (%16); 72 keeps the chain
+            nsample_list=(8, 16, 80, 72),
+            mlp_list=((8, 16), (8, 16), (8, 16), (8, 16)),
         )
         ref, got = self._run_both(monkeypatch, m, xyz, None, stats_rng=rng)
         np.testing.assert_allclose(
@@ -278,6 +279,29 @@ class TestFullyFusedBallMLP:
                                      use_xyz=use_xyz, dtype=jnp.float32,
                                      interpret=True)
         np.testing.assert_array_equal(np.asarray(gidx), np.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("nsample", [80, 128])
+    def test_chunked_large_k_matches_chain(self, rng, nsample):
+        """K > 64 runs the fori_loop-chunked slot path (16-slot unrolled
+        chunks, traced base) and returns idx=None; the pooled output must
+        stay bit-exact vs the two-kernel chain."""
+        from scanobjectnn_tpu.ops.pallas.ballquery_kernel import (
+            query_ball_group_pallas,
+        )
+        from scanobjectnn_tpu.ops.pallas.safused_kernel import sa_ball_mlp_pool
+        from scanobjectnn_tpu.ops.pallas.samlp_kernel import sa_mlp_pool
+
+        xyz = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.5)
+        q = xyz[:, :32, :]
+        src = jnp.asarray(rng.randn(2, 256, 8).astype(np.float32))
+        ws, bs = self._weights(rng, [(3 + 8, 8), (8, 16)])
+        grouped, idx, _ = query_ball_group_pallas(0.6, nsample, xyz, q, True)
+        want = sa_mlp_pool(grouped, idx, src, ws, bs, dtype=jnp.float32,
+                           interpret=True)
+        got, gidx = sa_ball_mlp_pool(0.6, nsample, xyz, q, src, ws, bs,
+                                     dtype=jnp.float32, interpret=True)
+        assert gidx is None
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
     @pytest.mark.parametrize("xyz_first", [True, False])
