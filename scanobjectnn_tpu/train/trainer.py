@@ -492,6 +492,135 @@ class Trainer:
             summary["seg_accuracy"] = totals["seg_correct"] / max(totals.get("seg_count", 1), 1)
         return state, summary
 
+    def _eval_epoch_impl(
+        self, state: TrainState, data: dict, rots: jnp.ndarray, rng: jax.Array
+    ):
+        """One full voting evaluation as a single XLA program: on-device
+        point subsample, a fori_loop over padded batches (remainder rows
+        repeat the last sample, masked out of every tally — the host
+        ``evaluate`` protocol), per-batch all-votes logits sums, and
+        on-device accuracy/per-class/seg accumulation."""
+        cfg = self.config
+        n_total = data["labels"].shape[0]
+        bsz = cfg.batch_size
+        n_batches = -(-n_total // bsz)
+        num_classes = cfg.num_classes
+
+        n_pts = data["points"].shape[1]
+        if cfg.num_point < n_pts:
+            pt_perm = jax.random.permutation(rng, n_pts)[: cfg.num_point]
+        else:
+            pt_perm = jnp.arange(n_pts)
+        view = {"points": data["points"][:, pt_perm, :], "labels": data["labels"]}
+        for k in ("masks", "parts"):
+            if k in data:
+                view[k] = data[k][:, pt_perm]
+
+        sums0 = {
+            "loss_sum": jnp.zeros((), jnp.float32),
+            "correct": jnp.zeros((), jnp.float32),
+            "seen_class": jnp.zeros((num_classes,), jnp.float32),
+            "correct_class": jnp.zeros((num_classes,), jnp.float32),
+            "seg_correct": jnp.zeros((), jnp.float32),
+            "seg_count": jnp.zeros((), jnp.float32),
+        }
+        preds0 = jnp.zeros((n_batches * bsz,), jnp.int32)
+
+        def body(i, carry):
+            sums, preds = carry
+            gidx = i * bsz + jnp.arange(bsz)
+            valid = gidx < n_total  # [B]
+            take = jnp.clip(gidx, 0, n_total - 1)  # pad = repeat last sample
+            batch = {k: jnp.take(v, take, axis=0) for k, v in view.items()}
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, self._batch_shard)
+                for k, v in batch.items()
+            }
+            out = self._eval_votes_impl(state, batch, rots)
+            validf = valid.astype(jnp.float32)
+            nvalid = jnp.sum(validf)
+            sums = dict(sums)
+            # Host-protocol loss: padded-batch mean × valid rows.
+            sums["loss_sum"] = sums["loss_sum"] + out["loss"] * nvalid
+            if "logits_sum" in out:
+                pred = jnp.argmax(out["logits_sum"], axis=1).astype(jnp.int32)
+                hit = ((pred == batch["labels"]) & valid).astype(jnp.float32)
+                sums["correct"] = sums["correct"] + jnp.sum(hit)
+                onehot_l = (
+                    jax.nn.one_hot(batch["labels"], num_classes)
+                    * validf[:, None]
+                )
+                sums["seen_class"] = sums["seen_class"] + jnp.sum(onehot_l, axis=0)
+                sums["correct_class"] = sums["correct_class"] + jnp.sum(
+                    onehot_l * hit[:, None], axis=0
+                )
+                preds = jax.lax.dynamic_update_slice_in_dim(
+                    preds, pred, i * bsz, axis=0
+                )
+            if "seg_logits_sum" in out:
+                target = batch.get("masks", batch.get("parts"))
+                if target is not None:
+                    seg_pred = jnp.argmax(out["seg_logits_sum"], axis=-1)
+                    seg_hit = (seg_pred == target) & valid[:, None]
+                    sums["seg_correct"] = sums["seg_correct"] + jnp.sum(
+                        seg_hit.astype(jnp.float32)
+                    )
+                    sums["seg_count"] = sums["seg_count"] + nvalid * target.shape[1]
+            return sums, preds
+
+        sums, preds = jax.lax.fori_loop(0, n_batches, body, (sums0, preds0))
+        return sums, preds
+
+    def evaluate_device(
+        self,
+        state: TrainState,
+        device_data: dict,
+        num_votes: int = 1,
+        seed: int | None = 0,
+    ) -> dict:
+        """Device-resident voting evaluation: the ENTIRE protocol — point
+        subsample, batching with remainder padding, all vote rotations,
+        accuracy/per-class/seg tallies — runs as one jitted program over an
+        HBM-resident dataset (``upload_dataset``).  The host ``evaluate``
+        loop pays a ~30-60 ms dispatch per batch (this image's round-trip
+        floor), which dominates its wall clock; this path removes it.
+
+        Numerics: identical to ``evaluate(..., shuffle=False)`` when
+        num_point == the stored point count (tested); with subsampling the
+        point choice uses jax RNG — statistically equivalent to, not
+        bit-equal with, the host EpochSampler's numpy choice (the
+        train_epoch_device convention).  Per-part tables (partseg) and
+        keep_points dumps stay on the host path."""
+        if not hasattr(self, "_eval_epoch_jit"):
+            self._eval_epoch_jit = jax.jit(self._eval_epoch_impl)
+        rots = jax.device_put(self._vote_rotations(num_votes), self._repl)
+        rng = jax.random.PRNGKey(0 if seed is None else seed)
+        sums, preds = self._eval_epoch_jit(state, device_data, rots, rng)
+        n_total = int(device_data["labels"].shape[0])
+        results: dict[str, Any] = {
+            "total_seen": n_total,
+            "mean_loss": float(sums["loss_sum"]) / max(n_total, 1),
+        }
+        seen_class = np.asarray(sums["seen_class"], np.float64)
+        if seen_class.sum() > 0:
+            results["accuracy"] = float(sums["correct"]) / n_total
+            with np.errstate(divide="ignore", invalid="ignore"):
+                per_class = np.where(
+                    seen_class > 0,
+                    np.asarray(sums["correct_class"], np.float64)
+                    / np.maximum(seen_class, 1),
+                    np.nan,
+                )
+            results["avg_class_accuracy"] = float(np.nanmean(per_class))
+            results["per_class_accuracy"] = per_class
+            results["predictions"] = np.asarray(preds)[:n_total]
+            results["labels"] = np.asarray(device_data["labels"])[:n_total]
+        if float(sums["seg_count"]) > 0:
+            results["seg_accuracy"] = float(sums["seg_correct"]) / float(
+                sums["seg_count"]
+            )
+        return results
+
     def evaluate(
         self,
         state: TrainState,
@@ -662,6 +791,23 @@ class Trainer:
                 masks=train_data.get("masks"), parts=train_data.get("parts"),
                 num_points=cfg.num_point, seed=cfg.seed,
             )
+        # Device-resident per-epoch eval where the protocol allows it (no
+        # per-part table; dense test set): the host loop's ~30-60 ms
+        # dispatch per batch dominates eval wall otherwise.
+        device_test = None
+        if (
+            test_data is not None
+            and cfg.device_resident
+            and test_data.get("parts") is None
+            and not (
+                isinstance(test_data["points"], (list, tuple))
+                or (
+                    isinstance(test_data["points"], np.ndarray)
+                    and test_data["points"].dtype == object
+                )
+            )
+        ):
+            device_test = self.upload_dataset(test_data)
         best_acc = -1.0  # best-so-far tracking (3DmFV-Net/train.py:232-237)
         best_avg_cls = -1.0
         start_epoch = 0
@@ -690,11 +836,16 @@ class Trainer:
             scalars = {f"train_{k}": v for k, v in summary.items()}
             if test_data is not None:
                 t_ev = time.time()
-                ev = self.evaluate(
-                    state, test_data["points"], test_data["labels"],
-                    masks=test_data.get("masks"), parts=test_data.get("parts"),
-                    num_votes=num_votes,
-                )
+                if device_test is not None:
+                    ev = self.evaluate_device(
+                        state, device_test, num_votes=num_votes
+                    )
+                else:
+                    ev = self.evaluate(
+                        state, test_data["points"], test_data["labels"],
+                        masks=test_data.get("masks"), parts=test_data.get("parts"),
+                        num_votes=num_votes,
+                    )
                 scalars["eval_seconds"] = time.time() - t_ev
                 self.logger.log(
                     "  eval "

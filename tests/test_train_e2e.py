@@ -209,6 +209,61 @@ def test_evaluate_covers_remainder_and_matches_batch1():
     )
 
 
+def test_device_eval_matches_host_protocol():
+    """evaluate_device (whole voting eval as ONE jitted program) must
+    reproduce the host evaluate() exactly when no point subsample is in
+    play (num_point == stored points, shuffle=False): same predictions,
+    accuracy, per-class table, and mean loss — including the padded
+    remainder batch."""
+    cfg = TrainerConfig(
+        model="pointnet_cls_basic", num_classes=3, num_point=48, batch_size=8
+    )
+    trainer = Trainer(cfg)
+    data = _dataset()
+    n = 19  # 19 % 8 == 3 → padded remainder batch
+    pts, lbl = data["points"][:n, :48], data["labels"][:n]
+    state = trainer.init_state(0)
+    host = trainer.evaluate(state, pts, lbl, num_votes=3, shuffle=False)
+    dev = trainer.evaluate_device(
+        state, trainer.upload_dataset({"points": pts, "labels": lbl}),
+        num_votes=3,
+    )
+    assert dev["total_seen"] == n
+    np.testing.assert_array_equal(dev["predictions"], host["predictions"])
+    np.testing.assert_array_equal(dev["labels"], host["labels"])
+    assert dev["accuracy"] == host["accuracy"]
+    np.testing.assert_allclose(
+        dev["per_class_accuracy"], host["per_class_accuracy"], equal_nan=True
+    )
+    np.testing.assert_allclose(dev["mean_loss"], host["mean_loss"], rtol=1e-5)
+
+
+def test_device_eval_seg_accuracy_matches_host():
+    """The seg tally (masks) of evaluate_device matches the host path."""
+    cfg = TrainerConfig(
+        model="pointnet2_cls_bga", num_classes=3, num_point=48, batch_size=8
+    )
+    trainer = Trainer(cfg)
+    data = _dataset(with_mask=True)
+    n = 19
+    pts, lbl = data["points"][:n, :48], data["labels"][:n]
+    masks = data["masks"][:n, :48]
+    state = trainer.init_state(0)
+    host = trainer.evaluate(
+        state, pts, lbl, masks=masks, num_votes=2, shuffle=False
+    )
+    dev = trainer.evaluate_device(
+        state,
+        trainer.upload_dataset({"points": pts, "labels": lbl, "masks": masks}),
+        num_votes=2,
+    )
+    np.testing.assert_array_equal(dev["predictions"], host["predictions"])
+    assert dev["accuracy"] == host["accuracy"]
+    np.testing.assert_allclose(
+        dev["seg_accuracy"], host["seg_accuracy"], rtol=1e-6
+    )
+
+
 class TestPointCNNRecipe:
     """The PointCNN settings-module training half must reach the trainer
     (reference: PointCNN/train.py:125-172 + modelnet_x3_l4.py:25-46)."""
