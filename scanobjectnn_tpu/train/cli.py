@@ -177,7 +177,29 @@ def _evaluate(args, mode: str):
         kwargs["parts"] = extra
     if args.visu:
         kwargs["keep_points"] = True
-    results = trainer.evaluate(state, data, labels, num_votes=args.num_votes, **kwargs)
+    dense = not (
+        isinstance(data, (list, tuple))
+        or (isinstance(data, np.ndarray) and data.dtype == object)
+    )
+    if mode in ("cls", "seg") and not args.visu and dense:
+        # Device-resident protocol: whole voting eval in ONE jitted program
+        # (the host loop pays ~30-60 ms dispatch per batch — 29x wall at
+        # ScanObjectNN scale).  seg keeps its no-shuffle protocol, which the
+        # device path matches EXACTLY (first-num_point subsample); partseg
+        # (per-part table) and --visu (point dumps) keep the host loop.
+        dd = {"points": data, "labels": labels}
+        if mode == "seg":
+            dd["masks"] = extra
+        results = trainer.evaluate_device(
+            state,
+            trainer.upload_dataset(dd),
+            num_votes=args.num_votes,
+            shuffle=kwargs.get("shuffle", True),
+        )
+    else:
+        results = trainer.evaluate(
+            state, data, labels, num_votes=args.num_votes, **kwargs
+        )
     log = trainer.logger
     log.log(f"total seen: {results['total_seen']}")
     log.log(f"eval mean loss: {results['mean_loss']:.6f}")

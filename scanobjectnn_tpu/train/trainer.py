@@ -508,7 +508,10 @@ class Trainer:
 
         n_pts = data["points"].shape[1]
         if cfg.num_point < n_pts:
-            pt_perm = jax.random.permutation(rng, n_pts)[: cfg.num_point]
+            if rng is None:  # shuffle=False: first num_point points, the
+                pt_perm = jnp.arange(cfg.num_point)  # host protocol exactly
+            else:
+                pt_perm = jax.random.permutation(rng, n_pts)[: cfg.num_point]
         else:
             pt_perm = jnp.arange(n_pts)
         view = {"points": data["points"][:, pt_perm, :], "labels": data["labels"]}
@@ -577,6 +580,7 @@ class Trainer:
         device_data: dict,
         num_votes: int = 1,
         seed: int | None = 0,
+        shuffle: bool = True,
     ) -> dict:
         """Device-resident voting evaluation: the ENTIRE protocol — point
         subsample, batching with remainder padding, all vote rotations,
@@ -585,16 +589,19 @@ class Trainer:
         loop pays a ~30-60 ms dispatch per batch (this image's round-trip
         floor), which dominates its wall clock; this path removes it.
 
-        Numerics: identical to ``evaluate(..., shuffle=False)`` when
-        num_point == the stored point count (tested); with subsampling the
-        point choice uses jax RNG — statistically equivalent to, not
-        bit-equal with, the host EpochSampler's numpy choice (the
-        train_epoch_device convention).  Per-part tables (partseg) and
-        keep_points dumps stay on the host path."""
+        Numerics: with ``shuffle=False`` the point subsample is the first
+        ``num_point`` points — EXACTLY ``evaluate(..., shuffle=False)``
+        (tested, including when num_point == the stored point count); with
+        ``shuffle=True`` the point choice uses jax RNG — statistically
+        equivalent to, not bit-equal with, the host EpochSampler's numpy
+        choice (the train_epoch_device convention).  Per-part tables
+        (partseg) and keep_points dumps stay on the host path."""
         if not hasattr(self, "_eval_epoch_jit"):
             self._eval_epoch_jit = jax.jit(self._eval_epoch_impl)
         rots = jax.device_put(self._vote_rotations(num_votes), self._repl)
-        rng = jax.random.PRNGKey(0 if seed is None else seed)
+        rng = (
+            jax.random.PRNGKey(0 if seed is None else seed) if shuffle else None
+        )
         sums, preds = self._eval_epoch_jit(state, device_data, rots, rng)
         n_total = int(device_data["labels"].shape[0])
         results: dict[str, Any] = {

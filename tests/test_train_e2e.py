@@ -238,6 +238,29 @@ def test_device_eval_matches_host_protocol():
     np.testing.assert_allclose(dev["mean_loss"], host["mean_loss"], rtol=1e-5)
 
 
+def test_device_eval_no_shuffle_subsample_matches_host():
+    """shuffle=False with num_point < stored points: both paths take the
+    FIRST num_point points, so the device program must match the host
+    evaluate exactly even with subsampling in play (the seg/cross-domain
+    eval protocols run exactly this configuration)."""
+    cfg = TrainerConfig(
+        model="pointnet_cls_basic", num_classes=3, num_point=40, batch_size=8
+    )
+    trainer = Trainer(cfg)
+    data = _dataset()  # 64 stored points > num_point=40
+    n = 19
+    pts, lbl = data["points"][:n], data["labels"][:n]
+    state = trainer.init_state(0)
+    host = trainer.evaluate(state, pts, lbl, num_votes=2, shuffle=False)
+    dev = trainer.evaluate_device(
+        state, trainer.upload_dataset({"points": pts, "labels": lbl}),
+        num_votes=2, shuffle=False,
+    )
+    np.testing.assert_array_equal(dev["predictions"], host["predictions"])
+    assert dev["accuracy"] == host["accuracy"]
+    np.testing.assert_allclose(dev["mean_loss"], host["mean_loss"], rtol=1e-5)
+
+
 def test_device_eval_seg_accuracy_matches_host():
     """The seg tally (masks) of evaluate_device matches the host path."""
     cfg = TrainerConfig(
