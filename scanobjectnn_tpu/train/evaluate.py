@@ -54,6 +54,25 @@ def filter_to_mappable_classes(data, labels, *extra):
     return tuple(out)
 
 
+def _eval_no_shuffle(trainer, state, data, labels, num_votes: int) -> dict:
+    """The cross-domain protocols' no-shuffle voting eval, on the
+    device-resident program (exact host-path numerics at shuffle=False —
+    see Trainer.evaluate_device); ragged input falls back to the host loop."""
+    ragged = isinstance(data, (list, tuple)) or (
+        isinstance(data, np.ndarray) and data.dtype == object
+    )
+    if ragged:
+        return trainer.evaluate(
+            state, data, labels, num_votes=num_votes, shuffle=False
+        )
+    return trainer.evaluate_device(
+        state,
+        trainer.upload_dataset({"points": data, "labels": labels}),
+        num_votes=num_votes,
+        shuffle=False,
+    )
+
+
 def evaluate_real_trained_on_synthetic(
     trainer, state, data, labels, num_votes: int = 1
 ) -> dict:
@@ -63,7 +82,7 @@ def evaluate_real_trained_on_synthetic(
     labels (many-to-one); unmappable predictions count as wrong.
     """
     data, labels = filter_to_mappable_classes(data, labels)
-    results = trainer.evaluate(state, data, labels, num_votes=num_votes, shuffle=False)
+    results = _eval_no_shuffle(trainer, state, data, labels, num_votes)
     preds_modelnet = results["predictions"]
     preds_scan = mappings.modelnet_pred_to_scanobjectnn(preds_modelnet)
     gts = results["labels"]
@@ -94,7 +113,7 @@ def evaluate_synthetic_trained_on_real(
     # Feed dummy ScanObjectNN labels (loss is meaningless here); we only need
     # the argmax predictions.
     dummy = np.zeros(len(data), np.int64)
-    results = trainer.evaluate(state, data, dummy, num_votes=num_votes, shuffle=False)
+    results = _eval_no_shuffle(trainer, state, data, dummy, num_votes)
     preds = results["predictions"]
     correct = mappings.is_correct_on_modelnet(preds, gt_modelnet)
     out = {

@@ -261,6 +261,38 @@ def test_device_eval_no_shuffle_subsample_matches_host():
     np.testing.assert_allclose(dev["mean_loss"], host["mean_loss"], rtol=1e-5)
 
 
+def test_cross_domain_drivers_run_on_device_path():
+    """The cross-domain eval drivers (now dispatching the device-resident
+    no-shuffle program) produce the mapped-accuracy result dicts end-to-end:
+    class filtering, prediction mapping, per-class tables."""
+    from scanobjectnn_tpu.train import evaluate as ev
+
+    rng = np.random.RandomState(0)
+    cfg = TrainerConfig(
+        model="pointnet_cls_basic", num_classes=40, num_point=32, batch_size=8
+    )
+    tr = Trainer(cfg)
+    st = tr.init_state(0)
+    data = rng.randn(21, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 15, 21)
+    r = ev.evaluate_real_trained_on_synthetic(tr, st, data, labels, num_votes=2)
+    assert 0 < r["total_seen"] <= 21  # only mappable classes kept
+    assert "per_class_accuracy_mapped" in r
+    assert len(r["mapped_predictions"]) == r["total_seen"]
+
+    cfg2 = TrainerConfig(
+        model="pointnet_cls_basic", num_classes=15, num_point=32, batch_size=8
+    )
+    tr2 = Trainer(cfg2)
+    st2 = tr2.init_state(0)
+    m40 = rng.randint(0, 40, 23)
+    r2 = ev.evaluate_synthetic_trained_on_real(
+        tr2, st2, rng.randn(23, 32, 3).astype(np.float32), m40, num_votes=2
+    )
+    assert 0 < r2["total_seen"] <= 23
+    assert "per_class_accuracy_modelnet" in r2
+
+
 def test_device_eval_seg_accuracy_matches_host():
     """The seg tally (masks) of evaluate_device matches the host path."""
     cfg = TrainerConfig(
