@@ -181,15 +181,18 @@ def _evaluate(args, mode: str):
         isinstance(data, (list, tuple))
         or (isinstance(data, np.ndarray) and data.dtype == object)
     )
-    if mode in ("cls", "seg") and not args.visu and dense:
+    if not args.visu and dense:
         # Device-resident protocol: whole voting eval in ONE jitted program
         # (the host loop pays ~30-60 ms dispatch per batch — 29x wall at
         # ScanObjectNN scale).  seg keeps its no-shuffle protocol, which the
-        # device path matches EXACTLY (first-num_point subsample); partseg
-        # (per-part table) and --visu (point dumps) keep the host loop.
+        # device path matches EXACTLY (first-num_point subsample); partseg's
+        # per-part table is tallied on-device too; --visu (point dumps)
+        # keeps the host loop.
         dd = {"points": data, "labels": labels}
         if mode == "seg":
             dd["masks"] = extra
+        if mode == "partseg":
+            dd["parts"] = extra
         results = trainer.evaluate_device(
             state,
             trainer.upload_dataset(dd),

@@ -527,6 +527,19 @@ class Trainer:
             "seg_correct": jnp.zeros((), jnp.float32),
             "seg_count": jnp.zeros((), jnp.float32),
         }
+        if "parts" in view:
+            # Per-part-id point tallies (evaluate_partseg.py:166-185); the
+            # part-id space is the seg head's width.
+            out_sh = jax.eval_shape(
+                self._eval_votes_impl,
+                state,
+                {k: v[:bsz] for k, v in view.items()},
+                rots,
+            )
+            if "seg_logits_sum" in out_sh:
+                num_parts = out_sh["seg_logits_sum"].shape[-1]
+                sums0["part_seen"] = jnp.zeros((num_parts,), jnp.float32)
+                sums0["part_correct"] = jnp.zeros((num_parts,), jnp.float32)
         preds0 = jnp.zeros((n_batches * bsz,), jnp.int32)
 
         def body(i, carry):
@@ -569,6 +582,16 @@ class Trainer:
                         seg_hit.astype(jnp.float32)
                     )
                     sums["seg_count"] = sums["seg_count"] + nvalid * target.shape[1]
+                    if "part_seen" in sums:
+                        np_ = sums["part_seen"].shape[0]
+                        oh = jax.nn.one_hot(target, np_) * validf[:, None, None]
+                        sums["part_seen"] = sums["part_seen"] + jnp.sum(
+                            oh, axis=(0, 1)
+                        )
+                        sums["part_correct"] = sums["part_correct"] + jnp.sum(
+                            oh * seg_hit.astype(jnp.float32)[:, :, None],
+                            axis=(0, 1),
+                        )
             return sums, preds
 
         sums, preds = jax.lax.fori_loop(0, n_batches, body, (sums0, preds0))
@@ -595,7 +618,8 @@ class Trainer:
         ``shuffle=True`` the point choice uses jax RNG — statistically
         equivalent to, not bit-equal with, the host EpochSampler's numpy
         choice (the train_epoch_device convention).  Per-part tables
-        (partseg) and keep_points dumps stay on the host path."""
+        (partseg) are tallied on-device; keep_points dumps stay on the
+        host path."""
         if not hasattr(self, "_eval_epoch_jit"):
             self._eval_epoch_jit = jax.jit(self._eval_epoch_impl)
         rots = jax.device_put(self._vote_rotations(num_votes), self._repl)
@@ -625,6 +649,20 @@ class Trainer:
         if float(sums["seg_count"]) > 0:
             results["seg_accuracy"] = float(sums["seg_correct"]) / float(
                 sums["seg_count"]
+            )
+        if "part_seen" in sums:
+            part_seen = np.asarray(sums["part_seen"], np.float64)
+            part_correct = np.asarray(sums["part_correct"], np.float64)
+            # -1.0 marks unseen parts; avg over seen parts only (the host
+            # evaluate / evaluate_partseg.py:177-185 convention).
+            with np.errstate(divide="ignore", invalid="ignore"):
+                per_part = np.where(
+                    part_seen > 0, part_correct / np.maximum(part_seen, 1), -1.0
+                )
+            results["per_part_accuracy"] = per_part
+            seen = part_seen > 0
+            results["avg_part_accuracy"] = (
+                float(per_part[seen].mean()) if seen.any() else 0.0
             )
         return results
 
@@ -798,14 +836,12 @@ class Trainer:
                 masks=train_data.get("masks"), parts=train_data.get("parts"),
                 num_points=cfg.num_point, seed=cfg.seed,
             )
-        # Device-resident per-epoch eval where the protocol allows it (no
-        # per-part table; dense test set): the host loop's ~30-60 ms
-        # dispatch per batch dominates eval wall otherwise.
+        # Device-resident per-epoch eval for dense test sets: the host
+        # loop's ~30-60 ms dispatch per batch dominates eval wall otherwise.
         device_test = None
         if (
             test_data is not None
             and cfg.device_resident
-            and test_data.get("parts") is None
             and not (
                 isinstance(test_data["points"], (list, tuple))
                 or (

@@ -410,6 +410,34 @@ def test_partseg_eval_reports_per_part_table():
     assert ev["seg_accuracy"] >= 0
 
 
+def test_device_eval_per_part_table_matches_host():
+    """The device-resident eval's on-device per-part tallies reproduce the
+    host evaluate's table exactly (no-subsample, no-shuffle config)."""
+    cfg = TrainerConfig(
+        model="pointnet_partseg", num_classes=6, num_point=48, batch_size=8
+    )
+    trainer = Trainer(cfg)
+    data = _dataset(n=48)
+    rng = np.random.RandomState(0)
+    parts = rng.randint(0, 4, data["points"].shape[:2])
+    n = 19  # padded remainder
+    pts, lbl, prt = data["points"][:n], data["labels"][:n], parts[:n]
+    state = trainer.init_state(0)
+    host = trainer.evaluate(
+        state, pts, lbl, parts=prt, num_votes=2, shuffle=False
+    )
+    dev = trainer.evaluate_device(
+        state,
+        trainer.upload_dataset({"points": pts, "labels": lbl, "parts": prt}),
+        num_votes=2, shuffle=False,
+    )
+    np.testing.assert_allclose(
+        dev["per_part_accuracy"], host["per_part_accuracy"]
+    )
+    assert dev["avg_part_accuracy"] == pytest.approx(host["avg_part_accuracy"])
+    np.testing.assert_allclose(dev["seg_accuracy"], host["seg_accuracy"])
+
+
 def test_fused_votes_match_host_vote_loop():
     """eval_votes (all rotations in one device program) must reproduce the
     per-vote host loop: summed logits allclose, loss = Σ_v loss_v / V —
