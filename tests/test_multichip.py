@@ -166,6 +166,42 @@ def test_device_resident_epoch_is_sharded_and_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+def test_device_resident_eval_is_sharded_and_matches_single_device():
+    """The device-resident eval program (Trainer.evaluate_device) must (a)
+    constrain its per-batch slices to the data axis like the train epoch
+    and (b) produce identical results on 8 devices and 1 device — eval has
+    no gradient psum, so the tallies must match exactly."""
+    import re
+
+    cfg = TrainerConfig(
+        model="pointnet_cls_basic", num_classes=3, num_point=48, batch_size=8
+    )
+    data = _data(n=48)
+    n = 19  # padded remainder batch included
+    sub = {"points": data["points"][:n], "labels": data["labels"][:n]}
+
+    t8 = Trainer(cfg, mesh=mesh_lib.make_mesh())
+    t1 = Trainer(cfg, mesh=mesh_lib.make_mesh(devices=jax.devices()[:1]))
+    s8 = t8.init_state(0)
+    s1 = t1.init_state(0)
+    d8 = t8.upload_dataset(sub)
+    d1 = t1.upload_dataset(sub)
+
+    rots = jax.device_put(t8._vote_rotations(2), t8._repl)
+    hlo = jax.jit(t8._eval_epoch_impl).lower(s8, d8, rots, None).as_text()
+    assert re.search(
+        r'sharding_constraint[^\n]*\[\{"data"\}, \{\}, \{\}\]>'
+        r" : tensor<8x48x3xf32>",
+        hlo,
+    ), "eval batch slices not constrained to the data axis"
+
+    ev8 = t8.evaluate_device(s8, d8, num_votes=2, shuffle=False)
+    ev1 = t1.evaluate_device(s1, d1, num_votes=2, shuffle=False)
+    np.testing.assert_array_equal(ev8["predictions"], ev1["predictions"])
+    assert ev8["accuracy"] == ev1["accuracy"]
+    np.testing.assert_allclose(ev8["mean_loss"], ev1["mean_loss"], rtol=1e-5)
+
+
 def test_cross_replica_batchnorm_matches_global_stats():
     """BatchNorm(axis_name='data') under shard_map over a batch-sharded input
     must equal single-device BatchNorm over the full batch — the psum'd batch
