@@ -24,7 +24,22 @@ from typing import Iterator
 
 import numpy as np
 
-__all__ = ["EpochSampler", "Batches", "pad_or_trim_batch", "padded_batches"]
+__all__ = [
+    "EpochSampler",
+    "Batches",
+    "is_ragged",
+    "pad_or_trim_batch",
+    "padded_batches",
+]
+
+
+def is_ragged(data) -> bool:
+    """List-of-arrays input (raw .bin datasets with per-cloud sizes) — the
+    single definition of raggedness (EpochSampler, the device-eval
+    dispatchers, and fit all share it)."""
+    return isinstance(data, (list, tuple)) or (
+        isinstance(data, np.ndarray) and data.dtype == object
+    )
 
 
 @dataclass
@@ -48,10 +63,7 @@ class EpochSampler:
 
     @property
     def _is_ragged(self) -> bool:
-        """List-of-arrays input (raw .bin datasets with per-cloud sizes)."""
-        return isinstance(self.data, (list, tuple)) or (
-            isinstance(self.data, np.ndarray) and self.data.dtype == object
-        )
+        return is_ragged(self.data)
 
     def epoch(self) -> dict[str, np.ndarray]:
         """One epoch view.

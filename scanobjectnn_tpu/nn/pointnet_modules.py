@@ -390,10 +390,11 @@ class SAModuleMSG(nn.Module):
         bn_momentum=0.9,
     ):
         # Eval-time fully-fused scales: ball select + gather + folded-BN
-        # MLP + max-pool in one kernel per K<=64 scale (safused_kernel.py;
-        # K=128 scales keep the unfused chain).  Same gating as SAModule's
-        # fused branch; LiftedGroupMLP's param tree is MLP-compatible, so
-        # fold_bn_mlp_params folds either formulation's params.
+        # MLP + max-pool in one kernel per scale (safused_kernel.py —
+        # K<=64 unrolled, K%16==0 chunked; other K keep the unfused chain).
+        # Same gating as SAModule's fused branch; LiftedGroupMLP's param
+        # tree is MLP-compatible, so fold_bn_mlp_params folds either
+        # formulation's params.
         fused_eval = (
             not train
             and not self.is_initializing()

@@ -27,11 +27,12 @@ centered on the query) and stacked K-leading, so the [KC*T, 3] MLP rows
 collapse layout-preserving exactly as in samlp_kernel.  MLP weights arrive
 with eval-mode BatchNorm pre-folded (samlp_kernel.fold_bn_mlp_params).
 
-The kernel still emits the [B, M, K] indices (the SA module's public
-contract returns them); when the caller discards idx, XLA dead-code
-eliminates nothing here (the store is inside the kernel) but the write is
-~2% of the removed traffic.  K is capped at 64 (the unrolled-slot form —
-MSG's K=128 keeps the two-kernel chain).
+K <= 64 runs fully-unrolled slots and still emits the [B, M, K] indices
+(the SA module's public contract returns them; the write is ~2% of the
+removed traffic).  Larger K (a multiple of 16 — MSG's 128) runs a
+fori_loop over 16-slot unrolled chunks and returns idx=None: the traced
+chunk base rules out the lane-offset idx store (lane-dim dynamic stores
+are sublane-only), so callers that need idx keep K <= 64.
 """
 
 from __future__ import annotations

@@ -177,32 +177,14 @@ def _evaluate(args, mode: str):
         kwargs["parts"] = extra
     if args.visu:
         kwargs["keep_points"] = True
-    dense = not (
-        isinstance(data, (list, tuple))
-        or (isinstance(data, np.ndarray) and data.dtype == object)
+    # evaluate_auto routes dense non-visu input to the device-resident
+    # program (whole voting eval in ONE jitted program — the host loop pays
+    # ~30-60 ms dispatch per batch, 29x wall at ScanObjectNN scale); seg's
+    # no-shuffle protocol matches the device path EXACTLY; --visu point
+    # dumps and ragged .bin input keep the host loop.
+    results = trainer.evaluate_auto(
+        state, data, labels, num_votes=args.num_votes, **kwargs
     )
-    if not args.visu and dense:
-        # Device-resident protocol: whole voting eval in ONE jitted program
-        # (the host loop pays ~30-60 ms dispatch per batch — 29x wall at
-        # ScanObjectNN scale).  seg keeps its no-shuffle protocol, which the
-        # device path matches EXACTLY (first-num_point subsample); partseg's
-        # per-part table is tallied on-device too; --visu (point dumps)
-        # keeps the host loop.
-        dd = {"points": data, "labels": labels}
-        if mode == "seg":
-            dd["masks"] = extra
-        if mode == "partseg":
-            dd["parts"] = extra
-        results = trainer.evaluate_device(
-            state,
-            trainer.upload_dataset(dd),
-            num_votes=args.num_votes,
-            shuffle=kwargs.get("shuffle", True),
-        )
-    else:
-        results = trainer.evaluate(
-            state, data, labels, num_votes=args.num_votes, **kwargs
-        )
     log = trainer.logger
     log.log(f"total seen: {results['total_seen']}")
     log.log(f"eval mean loss: {results['mean_loss']:.6f}")

@@ -55,21 +55,11 @@ def filter_to_mappable_classes(data, labels, *extra):
 
 
 def _eval_no_shuffle(trainer, state, data, labels, num_votes: int) -> dict:
-    """The cross-domain protocols' no-shuffle voting eval, on the
-    device-resident program (exact host-path numerics at shuffle=False —
-    see Trainer.evaluate_device); ragged input falls back to the host loop."""
-    ragged = isinstance(data, (list, tuple)) or (
-        isinstance(data, np.ndarray) and data.dtype == object
-    )
-    if ragged:
-        return trainer.evaluate(
-            state, data, labels, num_votes=num_votes, shuffle=False
-        )
-    return trainer.evaluate_device(
-        state,
-        trainer.upload_dataset({"points": data, "labels": labels}),
-        num_votes=num_votes,
-        shuffle=False,
+    """The cross-domain protocols' no-shuffle voting eval — device-resident
+    for dense input, host loop for ragged (Trainer.evaluate_auto; exact
+    host-path numerics at shuffle=False)."""
+    return trainer.evaluate_auto(
+        state, data, labels, num_votes=num_votes, shuffle=False
     )
 
 

@@ -623,10 +623,16 @@ class Trainer:
         if not hasattr(self, "_eval_epoch_jit"):
             self._eval_epoch_jit = jax.jit(self._eval_epoch_impl)
         rots = jax.device_put(self._vote_rotations(num_votes), self._repl)
-        rng = (
-            jax.random.PRNGKey(0 if seed is None else seed) if shuffle else None
-        )
-        sums, preds = self._eval_epoch_jit(state, device_data, rots, rng)
+        rng = None
+        if shuffle:
+            # seed=None mirrors the host evaluate: a FRESH subsample per
+            # call (global numpy stream), not a pinned key.
+            rng = jax.random.PRNGKey(
+                np.random.randint(0, 2**31 - 1) if seed is None else seed
+            )
+        sums, preds = jax.device_get(
+            self._eval_epoch_jit(state, device_data, rots, rng)
+        )  # ONE host transfer — per-scalar readbacks pay ~25 ms each here
         n_total = int(device_data["labels"].shape[0])
         results: dict[str, Any] = {
             "total_seen": n_total,
@@ -665,6 +671,40 @@ class Trainer:
                 float(per_part[seen].mean()) if seen.any() else 0.0
             )
         return results
+
+    def evaluate_auto(
+        self,
+        state: TrainState,
+        data,
+        labels,
+        masks=None,
+        parts=None,
+        num_votes: int = 1,
+        shuffle: bool = True,
+        seed: int | None = 0,
+        keep_points: bool = False,
+    ) -> dict:
+        """Route one voting evaluation to the right engine: the
+        device-resident program (evaluate_device) for dense input, the host
+        loop for ragged input or keep_points dumps.  The single dispatch
+        point for the CLI, fit, and the cross-domain drivers."""
+        from scanobjectnn_tpu.data.pipeline import is_ragged
+
+        if keep_points or is_ragged(data):
+            return self.evaluate(
+                state, data, labels, masks=masks, parts=parts,
+                num_votes=num_votes, shuffle=shuffle, seed=seed,
+                keep_points=keep_points,
+            )
+        dd = {"points": data, "labels": labels}
+        if masks is not None:
+            dd["masks"] = masks
+        if parts is not None:
+            dd["parts"] = parts
+        return self.evaluate_device(
+            state, self.upload_dataset(dd),
+            num_votes=num_votes, shuffle=shuffle, seed=seed,
+        )
 
     def evaluate(
         self,
@@ -836,19 +876,16 @@ class Trainer:
                 masks=train_data.get("masks"), parts=train_data.get("parts"),
                 num_points=cfg.num_point, seed=cfg.seed,
             )
-        # Device-resident per-epoch eval for dense test sets: the host
-        # loop's ~30-60 ms dispatch per batch dominates eval wall otherwise.
+        # Device-resident per-epoch eval for dense test sets (uploaded ONCE,
+        # reused every epoch): the host loop's ~30-60 ms dispatch per batch
+        # dominates eval wall otherwise.
+        from scanobjectnn_tpu.data.pipeline import is_ragged
+
         device_test = None
         if (
             test_data is not None
             and cfg.device_resident
-            and not (
-                isinstance(test_data["points"], (list, tuple))
-                or (
-                    isinstance(test_data["points"], np.ndarray)
-                    and test_data["points"].dtype == object
-                )
-            )
+            and not is_ragged(test_data["points"])
         ):
             device_test = self.upload_dataset(test_data)
         best_acc = -1.0  # best-so-far tracking (3DmFV-Net/train.py:232-237)
