@@ -81,17 +81,21 @@ class PointNet2ClsMSG(nn.Module):
     num_classes: int = 15
     dtype: jnp.dtype | None = None
     bn_axis_name: str | None = None
+    # Scale-level remat (see SAModuleMSG.remat_scales): measured per config
+    # before enabling — the default stays off.
+    remat_scales: bool = False
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, train: bool = False, bn_momentum=0.9):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        msg_kw = dict(kw, remat_scales=self.remat_scales)
         l1_xyz, l1_points = SAModuleMSG(
             512, (0.1, 0.2, 0.4), (16, 32, 128),
-            ((32, 32, 64), (64, 64, 128), (64, 96, 128)), name="sa1", **kw
+            ((32, 32, 64), (64, 64, 128), (64, 96, 128)), name="sa1", **msg_kw
         )(points, None, train, bn_momentum)
         l2_xyz, l2_points = SAModuleMSG(
             128, (0.2, 0.4, 0.8), (32, 64, 128),
-            ((64, 64, 128), (128, 128, 256), (128, 128, 256)), name="sa2", **kw
+            ((64, 64, 128), (128, 128, 256), (128, 128, 256)), name="sa2", **msg_kw
         )(l1_xyz, l1_points, train, bn_momentum)
         _, l3_points, _ = SAModule(
             None, None, None, (256, 512, 1024), group_all=True, name="sa3", **kw
@@ -100,7 +104,10 @@ class PointNet2ClsMSG(nn.Module):
         logits = _ClsHead(self.num_classes, name="head", **kw)(h, train, bn_momentum)
         return {"logits": logits, "end_points": {}}
 
-    loss = PointNet2ClsSSG.loss
+    # Re-wrap: bare function assignment would rebind as an instance method
+    # (class-attribute access through PointNet2ClsSSG unwraps staticmethod),
+    # breaking the documented `model.loss(outputs, batch)` convention.
+    loss = staticmethod(PointNet2ClsSSG.loss)
 
 
 class PointNet2BGA(nn.Module):

@@ -370,7 +370,16 @@ class LiftedGroupMLP(nn.Module):
 
 class SAModuleMSG(nn.Module):
     """Multi-scale grouping SA (ref pointnet_util.py:156-196): one FPS, a
-    ball query + MLP + max-pool per radius, concat over scales."""
+    ball query + MLP + max-pool per radius, concat over scales.
+
+    ``remat_scales`` puts each scale's grouped-MLP + max-pool behind a
+    ``jax.checkpoint`` boundary whose SAVED residuals are only the scale
+    inputs (points, idx, grouped coords) and the pooled output — the
+    [B, M, K, C] per-layer activations are recomputed in the backward
+    instead of round-tripping HBM across fwd→bwd.  Unlike whole-step remat
+    (measured NEGATIVE: it recomputes the FPS/ball-query kernels), the
+    neighborhood kernels stay OUTSIDE the boundary.  Values are identical;
+    the flag is purely a time/memory trade measured per config."""
 
     npoint: int
     radius_list: Sequence[float]
@@ -380,6 +389,7 @@ class SAModuleMSG(nn.Module):
     bn: bool = True
     dtype: jnp.dtype | None = None
     bn_axis_name: str | None = None
+    remat_scales: bool = False
 
     @nn.compact
     def __call__(
@@ -446,39 +456,58 @@ class SAModuleMSG(nn.Module):
                 scale_feats.append(pooled)
                 continue
             grouped_xyz, idx, _ = groups[i]
-            if (
+            lifted = (
                 points is not None
                 and self.use_xyz
                 and points.shape[-1] + 3 > mlp[0]
+            )
+
+            def scale_fn(
+                mdl, point_feats, xyz_a, new_xyz_a, idx_a, grouped_xyz_a,
+                bn_momentum_a, *, _i=i, _mlp=mlp, _lifted=lifted,
             ):
-                # Lifted first conv: Dense_0 runs per-point BEFORE the
-                # gather, so the neighbor gather moves C_mid channels
-                # instead of C_in (64 vs 323 at SA2 scale 3) — an exact
-                # linear refactoring with an MLP-compatible param tree.
-                # Engaged only when it SHRINKS the gather (C_in > C_mid):
-                # lifting every scale, including SA1's points=None scales
-                # (which do no feature gather at all), measured a net LOSS
-                # (47.3 vs 40.0 ms/step).  MSG concatenates [points, xyz] —
-                # opposite order to SSG (ref pointnet_util.py:176-177) —
-                # hence xyz_first=False.
-                feats = LiftedGroupMLP(
-                    mlp, xyz_first=False, bn=self.bn, dtype=self.dtype,
-                    bn_axis_name=self.bn_axis_name, name=f"mlp_scale{i}",
-                )(points, xyz, new_xyz, idx, train=train, bn_momentum=bn_momentum)
-            else:
-                if points is not None:
-                    grouped = gather_neighbors(points, idx)
-                    if self.use_xyz:
-                        # MSG concatenates [points, xyz] — opposite order
-                        # to SSG (ref pointnet_util.py:176-177).
-                        grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
+                if _lifted:
+                    # Lifted first conv: Dense_0 runs per-point BEFORE the
+                    # gather, so the neighbor gather moves C_mid channels
+                    # instead of C_in (64 vs 323 at SA2 scale 3) — an exact
+                    # linear refactoring with an MLP-compatible param tree.
+                    # Engaged only when it SHRINKS the gather (C_in > C_mid):
+                    # lifting every scale, including SA1's points=None scales
+                    # (which do no feature gather at all), measured a net LOSS
+                    # (47.3 vs 40.0 ms/step).  MSG concatenates [points, xyz]
+                    # — opposite order to SSG (ref pointnet_util.py:176-177)
+                    # — hence xyz_first=False.
+                    feats = LiftedGroupMLP(
+                        _mlp, xyz_first=False, bn=mdl.bn, dtype=mdl.dtype,
+                        bn_axis_name=mdl.bn_axis_name, name=f"mlp_scale{_i}",
+                    )(
+                        point_feats, xyz_a, new_xyz_a, idx_a,
+                        train=train, bn_momentum=bn_momentum_a,
+                    )
                 else:
-                    grouped = grouped_xyz
-                feats = MLP(
-                    mlp, bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                    name=f"mlp_scale{i}",
-                )(grouped, train=train, bn_momentum=bn_momentum)
-            scale_feats.append(jnp.max(feats, axis=2))
+                    if point_feats is not None:
+                        grouped = gather_neighbors(point_feats, idx_a)
+                        if mdl.use_xyz:
+                            # MSG concatenates [points, xyz] — opposite order
+                            # to SSG (ref pointnet_util.py:176-177).
+                            grouped = jnp.concatenate(
+                                [grouped, grouped_xyz_a], axis=-1
+                            )
+                    else:
+                        grouped = grouped_xyz_a
+                    feats = MLP(
+                        _mlp, bn=mdl.bn, dtype=mdl.dtype,
+                        bn_axis_name=mdl.bn_axis_name, name=f"mlp_scale{_i}",
+                    )(grouped, train=train, bn_momentum=bn_momentum_a)
+                return jnp.max(feats, axis=2)
+
+            if self.remat_scales and not self.is_initializing():
+                scale_fn = nn.remat(scale_fn)
+            scale_feats.append(
+                scale_fn(
+                    self, points, xyz, new_xyz, idx, grouped_xyz, bn_momentum
+                )
+            )
         return new_xyz, jnp.concatenate(scale_feats, axis=-1)
 
 

@@ -105,6 +105,42 @@ def test_eval_deterministic_train_stochastic():
     assert np.abs(np.asarray(t1["logits"]) - np.asarray(t2["logits"])).max() > 0
 
 
+def test_msg_scale_remat_parity():
+    """SAModuleMSG.remat_scales is a pure scheduling change: loss, gradients,
+    and BN-stat updates match the default path with the SAME parameters
+    (the remat boundary saves only scale inputs + pooled outputs)."""
+    from scanobjectnn_tpu.models.pointnet2 import PointNet2ClsMSG
+
+    base = PointNet2ClsMSG()
+    rem = PointNet2ClsMSG(remat_scales=True)
+    variables = _init(base)
+    batch = _batch("cls")
+
+    def run(model):
+        def loss(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch["points"], train=True, bn_momentum=0.9,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )
+            return model.loss(out, batch)[0], mut
+        (l, mut), g = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"]
+        )
+        return l, mut, g
+
+    l0, m0, g0 = run(base)
+    l1, m1, g1 = run(rem)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        (m0, g0), (m1, g1),
+    )
+
+
 def test_tnet_identity_at_init():
     """T-Nets start as the identity transform (zero weights + identity bias,
     transform_nets.py:40-53)."""
