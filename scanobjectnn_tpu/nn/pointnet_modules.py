@@ -379,7 +379,14 @@ class SAModuleMSG(nn.Module):
     instead of round-tripping HBM across fwd→bwd.  Unlike whole-step remat
     (measured NEGATIVE: it recomputes the FPS/ball-query kernels), the
     neighborhood kernels stay OUTSIDE the boundary.  Values are identical;
-    the flag is purely a time/memory trade measured per config."""
+    the flag is purely a time/memory trade measured per config.
+
+    Measured NEGATIVE for the reference MSG config too (B16/N1024 f32
+    loss+grad: 34.1 ms off vs 41.6 ms on) — even with the neighborhood
+    kernels excluded, replaying the grouped-MLP stacks re-reads the
+    [B, M, K, C_in] grouped inputs and re-runs the conv/BN chain, which
+    costs more than the saved residual write-back.  Kept (default off)
+    for memory-constrained configs where the trade flips."""
 
     npoint: int
     radius_list: Sequence[float]
