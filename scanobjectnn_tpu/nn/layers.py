@@ -57,7 +57,15 @@ class BatchNorm(nn.Module):
         x: jnp.ndarray,
         use_running_average: bool,
         momentum: jnp.ndarray | float = 0.9,
+        override_stats: tuple | None = None,
+        update_only: bool = False,
     ) -> jnp.ndarray:
+        """``update_only=True`` performs ONLY the EMA running-stat update
+        with externally computed batch statistics (``override_stats``) and
+        returns ``x`` unchanged — the hook for fused kernels that normalize
+        inside their own program (the fused SA TRAINING path) while this
+        module keeps owning the scale/bias params and running stats so the
+        variable tree stays identical to the unfused path."""
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
@@ -67,6 +75,13 @@ class BatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
+        if update_only:
+            mean, var = override_stats
+            if not self.is_initializing():
+                m = jnp.asarray(momentum, jnp.float32)
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+            return x
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value

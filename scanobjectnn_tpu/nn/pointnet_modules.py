@@ -29,9 +29,27 @@ __all__ = [
     "sample_and_group_all",
     "SAModule",
     "SAModuleMSG",
+    "GroupMLPPool",
     "LiftedGroupMLP",
     "FPModule",
 ]
+
+
+def _fused_sa_train_enabled() -> bool:
+    """Gate for the fused TRAINING tail (grouped_bn_mlp_pool): the custom-VJP
+    op whose backward recomputes from z1 tiles instead of saving every
+    [B, M, K, C] activation across the fwd->bwd boundary.
+
+    Default OFF: measured NET SLOWER than XLA AD at the model level on the
+    v5e (scripts/profile_satrain.py — SSG bf16 8.25 vs 5.45 ms, MSG bf16
+    30.25 vs 22.46; see BENCHMARKS.md "fused SA training backward").  The
+    op stays parity-tested and opt-in (SCANOBJECTNN_FUSED_SA_TRAIN=1) as
+    the measured-negative record of round-3 VERDICT item 1's prescribed
+    approach; scripts/profile_satrain_layers.py holds the per-layer
+    decomposition."""
+    import os
+
+    return os.environ.get("SCANOBJECTNN_FUSED_SA_TRAIN", "0") == "1"
 
 
 def _fused_sa_eval_mode() -> str | None:
@@ -258,13 +276,25 @@ class SAModule(nn.Module):
                 self.npoint, self.radius, self.nsample, xyz, points, self.knn, self.use_xyz
             )
 
+        if self.pooling == "max":
+            # Max-pool layers route through GroupMLPPool: identical param
+            # tree to MLP, fused custom-VJP training tail (see its doc).
+            pooled = GroupMLPPool(
+                self.mlp, bn=self.bn, dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name, name="mlp",
+            )(new_points, train=train, bn_momentum=bn_momentum)
+            if self.mlp2:
+                pooled = MLP(
+                    self.mlp2, bn=self.bn, dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name, name="mlp2",
+                )(pooled, train=train, bn_momentum=bn_momentum)
+            return new_xyz, pooled, idx
+
         new_points = MLP(
             self.mlp, bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="mlp"
         )(new_points, train=train, bn_momentum=bn_momentum)
 
-        if self.pooling == "max":
-            pooled = jnp.max(new_points, axis=2)
-        elif self.pooling == "avg":
+        if self.pooling == "avg":
             pooled = jnp.mean(new_points, axis=2)
         elif self.pooling == "weighted_avg":
             # exp(-5·dist) weights over the neighborhood (ref :131-137)
@@ -284,6 +314,86 @@ class SAModule(nn.Module):
                 self.mlp2, bn=self.bn, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="mlp2"
             )(pooled, train=train, bn_momentum=bn_momentum)
         return new_xyz, pooled, idx
+
+
+def _fused_train_tail(mdl, z1, bn_momentum):
+    """Shared fused-training tail: BN0→relu→(Dense→BN→relu)*→max-pool via
+    grouped_bn_mlp_pool, reading layer params from ``mdl``'s own variable
+    tree (MLP-compatible dense_i/bn_i names) and updating the running BN
+    stats through the BatchNorm modules in update_only mode.  Called from
+    GroupMLPPool and LiftedGroupMLP (pool=True) so the recipe cannot drift
+    between the SSG and MSG-lifted formulations."""
+    from scanobjectnn_tpu.nn.layers import BatchNorm
+    from scanobjectnn_tpu.ops.pallas.satrain_kernel import grouped_bn_mlp_pool
+
+    n_layers = len(mdl.features)
+    params = mdl.variables["params"]
+    gammas = tuple(params[f"bn_{i}"]["scale"] for i in range(n_layers))
+    betas = tuple(params[f"bn_{i}"]["bias"] for i in range(n_layers))
+    ws = tuple(params[f"dense_{i}"]["kernel"] for i in range(1, n_layers))
+    bs = tuple(params[f"dense_{i}"]["bias"] for i in range(1, n_layers))
+    pooled, means, variances = grouped_bn_mlp_pool(z1, gammas, betas, ws, bs)
+    for i in range(n_layers):
+        BatchNorm(
+            dtype=mdl.dtype, axis_name=mdl.bn_axis_name, name=f"bn_{i}"
+        )(
+            means[i], use_running_average=False, momentum=bn_momentum,
+            override_stats=(means[i], variances[i]), update_only=True,
+        )
+    return pooled
+
+
+class GroupMLPPool(nn.Module):
+    """Grouped shared-MLP + max-pool over the neighbor axis (axis 2), with a
+    fused TRAINING path: Dense_0 runs as a normal flax layer (so XLA AD
+    handles its weights and everything upstream — gathers, lifts, concats),
+    and the BN0→relu→(Dense→BN→relu)*→max tail runs through
+    ``grouped_bn_mlp_pool`` (ops/pallas/satrain_kernel.py), whose backward
+    recomputes the chain from z1 tiles in VMEM instead of saving each
+    [B, M, K, C] activation across the step's fwd→bwd boundary (round-3
+    VERDICT item 1; the analog of DGCNN's fused-coefficient backward).
+
+    The parameter/variable tree matches ``nn.layers.MLP`` exactly
+    (dense_i / bn_i), so checkpoints interoperate and the eval-time BN fold
+    (fold_bn_mlp_params) works unchanged; running stats are updated by the
+    BatchNorm modules in ``update_only`` mode with the op's batch stats.
+    Non-fused cases (eval, init, bn=False, cross-replica axis_name, env
+    opt-out) run the plain MLP loop + max inline.
+
+    Reference semantics: the conv2d+BN+relu stack + reduce_max of
+    pointnet_util.py:87-154 in training mode (batch statistics)."""
+
+    features: Sequence[int]
+    bn: bool = True
+    dtype: jnp.dtype | None = None
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, bn_momentum=0.9
+    ) -> jnp.ndarray:
+        from scanobjectnn_tpu.nn.layers import BatchNorm, Dense
+
+        fused = (
+            train
+            and self.bn
+            and self.bn_axis_name is None
+            and not self.is_initializing()
+            and _fused_sa_train_enabled()
+        )
+        if not fused:
+            for i, f in enumerate(self.features):
+                x = Dense(f, dtype=self.dtype, name=f"dense_{i}")(x)
+                if self.bn:
+                    x = BatchNorm(
+                        dtype=self.dtype, axis_name=self.bn_axis_name,
+                        name=f"bn_{i}",
+                    )(x, use_running_average=not train, momentum=bn_momentum)
+                x = nn.relu(x)
+            return jnp.max(x, axis=2)
+
+        z1 = Dense(self.features[0], dtype=self.dtype, name="dense_0")(x)
+        return _fused_train_tail(self, z1, bn_momentum)
 
 
 class LiftedGroupMLP(nn.Module):
@@ -307,6 +417,10 @@ class LiftedGroupMLP(nn.Module):
     bn: bool = True
     dtype: jnp.dtype | None = None
     bn_axis_name: str | None = None
+    # pool=True max-pools over the neighbor axis INSIDE the module, enabling
+    # the fused custom-VJP training tail (the lifted pre-activation x IS the
+    # op's z1 input); callers then drop their own jnp.max.
+    pool: bool = False
 
     @nn.compact
     def __call__(
@@ -356,6 +470,16 @@ class LiftedGroupMLP(nn.Module):
         x = gather_neighbors(pointwise, idx) - (qfull - bias)[:, :, None, :]
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        if (
+            self.pool
+            and train
+            and self.bn
+            and self.bn_axis_name is None
+            and not self.is_initializing()
+            and _fused_sa_train_enabled()
+        ):
+            # x is exactly the op's z1 (layer-0 pre-BN pre-activation).
+            return _fused_train_tail(self, x, bn_momentum)
         n_layers = len(self.features)
         for i, f in enumerate(self.features):
             if i > 0:
@@ -365,7 +489,7 @@ class LiftedGroupMLP(nn.Module):
                     dtype=self.dtype, axis_name=self.bn_axis_name, name=f"bn_{i}"
                 )(x, use_running_average=not train, momentum=bn_momentum)
             x = nn.relu(x)
-        return x
+        return jnp.max(x, axis=2) if self.pool else x
 
 
 class SAModuleMSG(nn.Module):
@@ -483,30 +607,30 @@ class SAModuleMSG(nn.Module):
                     # (which do no feature gather at all), measured a net LOSS
                     # (47.3 vs 40.0 ms/step).  MSG concatenates [points, xyz]
                     # — opposite order to SSG (ref pointnet_util.py:176-177)
-                    # — hence xyz_first=False.
-                    feats = LiftedGroupMLP(
+                    # — hence xyz_first=False.  pool=True: the max runs
+                    # inside the module, enabling its fused training tail.
+                    return LiftedGroupMLP(
                         _mlp, xyz_first=False, bn=mdl.bn, dtype=mdl.dtype,
-                        bn_axis_name=mdl.bn_axis_name, name=f"mlp_scale{_i}",
+                        bn_axis_name=mdl.bn_axis_name, pool=True,
+                        name=f"mlp_scale{_i}",
                     )(
                         point_feats, xyz_a, new_xyz_a, idx_a,
                         train=train, bn_momentum=bn_momentum_a,
                     )
+                if point_feats is not None:
+                    grouped = gather_neighbors(point_feats, idx_a)
+                    if mdl.use_xyz:
+                        # MSG concatenates [points, xyz] — opposite order
+                        # to SSG (ref pointnet_util.py:176-177).
+                        grouped = jnp.concatenate(
+                            [grouped, grouped_xyz_a], axis=-1
+                        )
                 else:
-                    if point_feats is not None:
-                        grouped = gather_neighbors(point_feats, idx_a)
-                        if mdl.use_xyz:
-                            # MSG concatenates [points, xyz] — opposite order
-                            # to SSG (ref pointnet_util.py:176-177).
-                            grouped = jnp.concatenate(
-                                [grouped, grouped_xyz_a], axis=-1
-                            )
-                    else:
-                        grouped = grouped_xyz_a
-                    feats = MLP(
-                        _mlp, bn=mdl.bn, dtype=mdl.dtype,
-                        bn_axis_name=mdl.bn_axis_name, name=f"mlp_scale{_i}",
-                    )(grouped, train=train, bn_momentum=bn_momentum_a)
-                return jnp.max(feats, axis=2)
+                    grouped = grouped_xyz_a
+                return GroupMLPPool(
+                    _mlp, bn=mdl.bn, dtype=mdl.dtype,
+                    bn_axis_name=mdl.bn_axis_name, name=f"mlp_scale{_i}",
+                )(grouped, train=train, bn_momentum=bn_momentum_a)
 
             if self.remat_scales and not self.is_initializing():
                 scale_fn = nn.remat(scale_fn)
