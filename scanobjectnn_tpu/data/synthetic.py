@@ -149,6 +149,7 @@ def make_hard_synthetic_dataset(
     num_points: int = 256,
     clutter_frac: float = 0.5,
     seed: int = 0,
+    return_parts: bool = False,
 ):
     """A DISCRIMINATING benchmark: near-confusable classes drowned in
     background clutter — the regime the paper's BGA models exist for
@@ -177,7 +178,8 @@ def make_hard_synthetic_dataset(
     ambiguous while a BGA trunk can learn to discount the off-center body
     (the paper's mechanism: pointnet2_cls_bga.py's class-vector-conditioned
     seg branch).  Returns (points[B,N,3] f32, labels[B] i64,
-    masks[B,N] i64, −1 = bg).
+    masks[B,N] i64, −1 = bg); with ``return_parts`` also parts[B,N] i64
+    (0 = foreground object, 1 = distractor body, 2 = uniform clutter).
     """
     # Axis-ratio prototypes: a 3x2 grid (axis-2 x axis-3) with gaps ~1.8 sigma
     # of the per-sample jitter — calibrated so plain-classifier accuracy
@@ -199,7 +201,7 @@ def make_hard_synthetic_dataset(
     n_fg = num_points - n_clutter
     n_distract = n_clutter // 2
     n_uniform = n_clutter - n_distract
-    data, labels, masks = [], [], []
+    data, labels, masks, parts = [], [], [], []
 
     def _ellipsoid(n, ratios):
         v = rng.randn(n, 3)
@@ -226,15 +228,28 @@ def make_hard_synthetic_dataset(
             mask = np.concatenate(
                 [np.zeros(n_fg, np.int64), -np.ones(n_clutter, np.int64)]
             )
+            # Part ids: 0 = foreground object, 1 = distractor body,
+            # 2 = uniform clutter.  Separating part 0 from part 1 (two
+            # ellipsoids; which one is foreground) is the task's hard core —
+            # a DISCRIMINATING per-point signal for the partseg rows.
+            part = np.concatenate([
+                np.zeros(n_fg, np.int64),
+                np.ones(n_distract, np.int64),
+                np.full(n_uniform, 2, np.int64),
+            ])
             perm = rng.permutation(num_points)
             data.append(pc[perm])
             masks.append(mask[perm])
+            parts.append(part[perm])
             labels.append(label)
-    return (
+    out = (
         np.stack(data),
         np.array(labels, dtype=np.int64),
         np.stack(masks),
     )
+    if return_parts:
+        out = out + (np.stack(parts),)
+    return out
 
 
 def write_synthetic_h5(path: str, **kwargs) -> None:

@@ -46,25 +46,37 @@ class _ClsHead(nn.Module):
 
 class PointNet2ClsSSG(nn.Module):
     """SSG classifier: SA(512,0.2,32,[64,64,128]) → SA(128,0.4,64,[128,128,256])
-    → SA(all,[256,512,1024]) → FC head (pointnet2_cls_ssg.py:23-57)."""
+    → SA(all,[256,512,1024]) → FC head (pointnet2_cls_ssg.py:23-57).
+
+    ``SA_CONFIGS`` is the single source of truth for the SA pyramid — the
+    forward iterates over it, and bench.py derives its analytic-FLOP and
+    per-phase accounting from the same tuple + the live variables, so the
+    benchmark cannot silently measure a different network than the model."""
 
     num_classes: int = 15
     dtype: jnp.dtype | None = None
     bn_axis_name: str | None = None
 
+    # (npoint, radius, nsample, mlp, group_all) per SA layer, in order.
+    SA_CONFIGS = (
+        (512, 0.2, 32, (64, 64, 128), False),
+        (128, 0.4, 64, (128, 128, 256), False),
+        (None, None, None, (256, 512, 1024), True),
+    )
+    HEAD_DIMS = (512, 256)  # _ClsHead fc1/fc2 widths (fc3 = num_classes)
+
     @nn.compact
     def __call__(self, points: jnp.ndarray, train: bool = False, bn_momentum=0.9):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        l1_xyz, l1_points, _ = SAModule(512, 0.2, 32, (64, 64, 128), name="sa1", **kw)(
-            points, None, train, bn_momentum
-        )
-        l2_xyz, l2_points, _ = SAModule(128, 0.4, 64, (128, 128, 256), name="sa2", **kw)(
-            l1_xyz, l1_points, train, bn_momentum
-        )
-        _, l3_points, _ = SAModule(
-            None, None, None, (256, 512, 1024), group_all=True, name="sa3", **kw
-        )(l2_xyz, l2_points, train, bn_momentum)
-        h = l3_points.reshape(points.shape[0], -1)
+        xyz, feats = points, None
+        for i, (npoint, radius, nsample, mlp, group_all) in enumerate(
+            self.SA_CONFIGS
+        ):
+            xyz, feats, _ = SAModule(
+                npoint, radius, nsample, mlp, group_all=group_all,
+                name=f"sa{i + 1}", **kw,
+            )(xyz, feats, train, bn_momentum)
+        h = feats.reshape(points.shape[0], -1)
         logits = _ClsHead(self.num_classes, name="head", **kw)(h, train, bn_momentum)
         return {"logits": logits, "end_points": {}}
 

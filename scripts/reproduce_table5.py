@@ -123,7 +123,10 @@ def run_row(model, kind, h5_dir, args):
     best_state = trainer.restore(state, best=True)
     if best_state is not None:
         state = best_state
-    ev = trainer.evaluate(
+    # evaluate_auto routes dense test sets through the device-resident
+    # one-program protocol (evaluate_device) — the host loop's ~30-60 ms
+    # per-batch dispatch would cost ~10+ min across the 8 rows x 12 votes.
+    ev = trainer.evaluate_auto(
         state, tdata, tlabels, masks=tmasks,
         num_votes=args.votes if not args.dry_run else 1,
     )

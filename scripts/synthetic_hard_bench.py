@@ -32,17 +32,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-# (model, with_mask, dtype) rows.  Plain/BGA pairs adjacent.
+# (model, supervision, dtype) rows; supervision False = labels only,
+# True = labels + fg/bg masks (BGA/seg), "parts" = 3-way part ids.
+# Plain/BGA pairs adjacent; full registry coverage (round-3 VERDICT 4).
 ROWS = [
     ("pointnet_cls_basic", False, "float32"),
+    ("pointnet_cls", False, "float32"),  # + T-Net variant
     ("pointnet_seg", True, "float32"),
     ("pointnet2_cls_ssg", False, "float32"),
+    ("pointnet2_cls_msg", False, "float32"),  # MSG-vs-SSG quality signal
     ("pointnet2_cls_bga", True, "float32"),
     ("dgcnn", False, "float32"),
     ("dgcnn_bga", True, "float32"),
     ("spidercnn_cls_xyz", False, "float32"),
     ("3dmfv_net_cls", False, "float32"),
     ("pointcnn_cls", False, "float32"),
+    ("pointcnn_seg", True, "float32"),
+    # Partseg: 3-way part ids (fg / distractor / clutter); the fg-vs-
+    # distractor split is the task's hard core, so per-part accuracy is a
+    # real quality signal.  One row per partseg family.
+    ("pointnet2_cls_partseg", "parts", "float32"),
+    ("pointnet_partseg", "parts", "float32"),
     # bf16 deltas for the families where bf16 buys real speed
     # (pointnet 1.8x, pointcnn 10%, pointnet2 ~1.3x — BENCHMARKS.md).
     ("pointnet_cls_basic", False, "bfloat16"),
@@ -54,47 +64,60 @@ ROWS = [
 def build_data(num_points: int, seed_train=0, seed_test=1):
     from scanobjectnn_tpu.data import io, synthetic
 
-    pts, labels, masks = synthetic.make_hard_synthetic_dataset(
-        num_per_class=100, num_classes=6, num_points=num_points, seed=seed_train
+    pts, labels, masks, parts = synthetic.make_hard_synthetic_dataset(
+        num_per_class=100, num_classes=6, num_points=num_points,
+        seed=seed_train, return_parts=True,
     )
-    tpts, tlabels, tmasks = synthetic.make_hard_synthetic_dataset(
-        num_per_class=60, num_classes=6, num_points=num_points, seed=seed_test
+    tpts, tlabels, tmasks, tparts = synthetic.make_hard_synthetic_dataset(
+        num_per_class=60, num_classes=6, num_points=num_points,
+        seed=seed_test, return_parts=True,
     )
     pts = io.normalize_data(io.center_data(pts))
     tpts = io.normalize_data(io.center_data(tpts))
     train = {
         "points": pts, "labels": labels,
-        "masks": io.convert_to_binary_mask(masks),
+        "masks": io.convert_to_binary_mask(masks), "parts": parts,
     }
     test = {
         "points": tpts, "labels": tlabels,
-        "masks": io.convert_to_binary_mask(tmasks),
+        "masks": io.convert_to_binary_mask(tmasks), "parts": tparts,
     }
     return train, test
 
 
-def run_row(model, with_mask, dtype, train, test, args):
+def run_row(model, supervision, dtype, train, test, args):
     from scanobjectnn_tpu.train import Trainer, TrainerConfig
 
+    partseg = supervision == "parts"
     cfg = TrainerConfig(
-        model=model, num_classes=6, num_point=args.num_point,
+        # partseg models take num_parts via num_classes (Trainer.__init__).
+        model=model, num_classes=3 if partseg else 6,
+        num_point=args.num_point,
         batch_size=24, max_epoch=args.epochs, learning_rate=1e-3,
         seed=0, dtype=dtype, augment_rotate=False,
     )
     trainer = Trainer(cfg)
     tr = {"points": train["points"], "labels": train["labels"]}
-    if with_mask:
+    if supervision is True:
         tr["masks"] = train["masks"]
+    elif partseg:
+        tr["parts"] = train["parts"]
     t0 = time.time()
     state = trainer.fit(tr)
     ev = trainer.evaluate(
         state, test["points"], test["labels"],
-        masks=test["masks"] if with_mask else None, num_votes=1,
+        masks=test["masks"] if supervision is True else None,
+        parts=test["parts"] if partseg else None,
+        num_votes=1,
     )
     return {
-        "model": model, "dtype": dtype, "bga": with_mask,
-        "accuracy": round(float(ev["accuracy"]), 4),
+        "model": model, "dtype": dtype, "bga": supervision is True,
+        # cls accuracy when the model has a cls head; partseg rows have none.
+        "accuracy": round(float(ev["accuracy"]), 4)
+        if "accuracy" in ev else None,
         "seg_accuracy": round(float(ev.get("seg_accuracy", -1.0)), 4),
+        "avg_part_accuracy": round(float(ev["avg_part_accuracy"]), 4)
+        if "avg_part_accuracy" in ev else None,
         "wall_sec": round(time.time() - t0, 1),
     }
 
@@ -109,6 +132,10 @@ def main(argv=None):
     p.add_argument("--models", default=None, help="comma list filter")
     p.add_argument("--output", default="SYNTH_HARD.md")
     p.add_argument("--json", dest="json_out", default="synth_hard.json")
+    p.add_argument("--merge", action="store_true",
+                   help="merge the rows run now into an existing json "
+                   "(rewrite only those; keep the rest) — lets a new row "
+                   "land without re-training the whole table")
     args = p.parse_args(argv)
 
     # Clouds carry 2x the training point count (the h5 convention: 2048-pt
@@ -119,13 +146,22 @@ def main(argv=None):
     train, test = build_data(2 * args.num_point)
     selected = set(args.models.split(",")) if args.models else None
     results = []
-    for model, with_mask, dtype in ROWS:
+    for model, supervision, dtype in ROWS:
         if selected and model not in selected:
             continue
         print(f"=== {model} ({dtype}) ===", flush=True)
-        r = run_row(model, with_mask, dtype, train, test, args)
+        r = run_row(model, supervision, dtype, train, test, args)
         results.append(r)
         print(json.dumps(r), flush=True)
+
+    if args.merge and os.path.isfile(args.json_out):
+        old = {(r["model"], r["dtype"]): r for r in json.load(open(args.json_out))}
+        old.update({(r["model"], r["dtype"]): r for r in results})
+        # Re-emit in ROWS order (unknown legacy rows keep their place last).
+        order = {(m, d): i for i, (m, _s, d) in enumerate(ROWS)}
+        results = sorted(
+            old.values(), key=lambda r: order.get((r["model"], r["dtype"]), 99)
+        )
 
     lines = [
         "# Synthetic-hard benchmark (6 confusable ellipsoid classes, "
@@ -137,14 +173,19 @@ def main(argv=None):
         "signal — they separate by family (unlike the easy fixture where "
         "everything hits 1.000).",
         "",
-        "| Model | dtype | BGA | accuracy | seg acc | wall |",
-        "|---|---|---|---|---|---|",
+        "| Model | dtype | BGA | accuracy | seg acc | part acc | wall |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in results:
         seg = f"{r['seg_accuracy']:.3f}" if r["seg_accuracy"] >= 0 else "—"
+        acc = f"{r['accuracy']:.3f}" if r.get("accuracy") is not None else "—"
+        part = (
+            f"{r['avg_part_accuracy']:.3f}"
+            if r.get("avg_part_accuracy") is not None else "—"
+        )
         lines.append(
             f"| {r['model']} | {r['dtype']} | {'yes' if r['bga'] else 'no'} "
-            f"| {r['accuracy']:.3f} | {seg} | {r['wall_sec']}s |"
+            f"| {acc} | {seg} | {part} | {r['wall_sec']}s |"
         )
     table = "\n".join(lines) + "\n"
     with open(args.output, "w") as f:

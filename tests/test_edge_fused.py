@@ -145,6 +145,7 @@ class TestFusedEdgeConv:
                 err_msg=str(path),
             )
 
+    @pytest.mark.slow
     def test_dgcnn_model_runs_fused(self, rng):
         """The full DGCNN forward+loss+grad runs with fused EdgeConvs."""
         from scanobjectnn_tpu.models.dgcnn import DGCNN

@@ -34,6 +34,7 @@ ALL_MODELS = sorted(zoo.MODEL_REGISTRY)
 
 
 @pytest.mark.parametrize("name", ALL_MODELS)
+@pytest.mark.slow
 def test_forward_shapes_and_loss(name):
     spec = zoo.MODEL_REGISTRY[name]
     model, loss_fn, kind = zoo.get_model(name)
@@ -53,6 +54,7 @@ def test_forward_shapes_and_loss(name):
 
 
 @pytest.mark.parametrize("name", ["pointnet_cls", "pointnet2_cls_ssg", "dgcnn"])
+@pytest.mark.slow
 def test_grads_nonzero(name):
     model, loss_fn, kind = zoo.get_model(name)
     variables = _init(model)
@@ -105,6 +107,7 @@ def test_eval_deterministic_train_stochastic():
     assert np.abs(np.asarray(t1["logits"]) - np.asarray(t2["logits"])).max() > 0
 
 
+@pytest.mark.slow
 def test_msg_scale_remat_parity():
     """SAModuleMSG.remat_scales is a pure scheduling change: loss, gradients,
     and BN-stat updates match the default path with the SAME parameters

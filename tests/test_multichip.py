@@ -93,6 +93,7 @@ FAMILY_MODELS = [
 
 
 @pytest.mark.parametrize("name", FAMILY_MODELS)
+@pytest.mark.slow
 def test_full_train_step_per_family_on_mesh(name):
     from scanobjectnn_tpu import models as zoo
 
