@@ -37,9 +37,10 @@ class TransformNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool, bn_momentum) -> jnp.ndarray:
         b = x.shape[0]
+        # final_max_axis: the MLP owns the global max-pool, so bf16 training
+        # can keep the pool's tie credit exact (pool_f32/keys modes).
         h = MLP((64, 128, 1024), dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                name="mlp")(x, train=train, bn_momentum=bn_momentum)
-        h = jnp.max(h, axis=1)  # [B, 1024]
+                final_max_axis=1, name="mlp")(x, train=train, bn_momentum=bn_momentum)
         h = MLP((512, 256), dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                 name="fc")(h, train=train, bn_momentum=bn_momentum)
         out = Dense(
@@ -77,9 +78,10 @@ class _PointNetTrunk(nn.Module):
             end_points["transform"] = t_feat
             x = jnp.einsum("bnc,bcd->bnd", x, t_feat)
         point_feat = x  # [B, N, 64]
-        x = MLP((64, 128, 1024), dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                name="mlp2")(x, train=train, bn_momentum=bn_momentum)
-        global_feat = jnp.max(x, axis=1)  # [B, 1024]
+        global_feat = MLP(
+            (64, 128, 1024), dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+            final_max_axis=1, name="mlp2",
+        )(x, train=train, bn_momentum=bn_momentum)  # [B, 1024]
         return point_feat, global_feat, end_points
 
 

@@ -59,13 +59,19 @@ class BatchNorm(nn.Module):
         momentum: jnp.ndarray | float = 0.9,
         override_stats: tuple | None = None,
         update_only: bool = False,
+        f32_key_input: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """``update_only=True`` performs ONLY the EMA running-stat update
         with externally computed batch statistics (``override_stats``) and
         returns ``x`` unchanged — the hook for fused kernels that normalize
         inside their own program (the fused SA TRAINING path) while this
         module keeps owning the scale/bias params and running stats so the
-        variable tree stays identical to the unfused path."""
+        variable tree stays identical to the unfused path.
+
+        ``f32_key_input`` (exact-key pooling, ops/exactpool.py): an
+        unrounded f32 copy of ``x`` — when given, the call ALSO returns a
+        stop-gradient f32 normalization of it under the SAME statistics
+        (the pool's selection keys).  Returns ``(y, key)``."""
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
@@ -101,7 +107,15 @@ class BatchNorm(nn.Module):
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
-        return y.astype(self.dtype or x.dtype)
+        out = y.astype(self.dtype or x.dtype)
+        if f32_key_input is not None:
+            sg = jax.lax.stop_gradient
+            key = (sg(f32_key_input) - sg(mean)) * jax.lax.rsqrt(
+                sg(var) + self.epsilon
+            )
+            key = key * sg(scale) + sg(bias)
+            return out, key
+        return out
 
 
 class Dense(nn.Module):
@@ -115,13 +129,19 @@ class Dense(nn.Module):
     downstream (LiftedGroupMLP subtracts products of UNCENTERED coordinates,
     ``p·W − q·W``), and rounding the output would re-quantize the large
     uncentered values (bf16 quantum at ``|p·W|``, not at ``|p−q|·|W|``) and
-    defeat the exact rows.  The caller rounds after its subtraction."""
+    defeat the exact rows.  The caller rounds after its subtraction.
+
+    ``keep_f32_output=True`` skips only the final downcast (operands still
+    run in the compute dtype): the matmul's f32 accumulation reaches the
+    caller unrounded.  Used by the pool_f32 mixed-precision mode, where the
+    final pre-pool layer must stay f32 so max-pool tie credit is exact."""
 
     features: int
     use_bias: bool = True
     dtype: jnp.dtype | None = None
     kernel_init: Callable = default_kernel_init
     highest_cols: tuple[int, int] | None = None
+    keep_f32_output: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -151,7 +171,82 @@ class Dense(nn.Module):
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b
-        return y if self.highest_cols is not None else y.astype(dtype)
+        if self.highest_cols is not None or self.keep_f32_output:
+            return y
+        return y.astype(dtype)
+
+
+def mlp_final_max(
+    mdl,
+    x: jnp.ndarray,
+    feature: int,
+    index: int,
+    axis: int,
+    train: bool,
+    bn_momentum,
+    bn: bool = True,
+    skip_dense: bool = False,
+    x32: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Final Dense→BN→relu→max-pool step of a shared-MLP stack, honoring the
+    pool_f32 mixed-precision modes (satrain_kernel._pool_f32_mode):
+
+      "0"    plain compute-dtype chain (also all eval calls);
+      "1"    layer activations stay f32 across the pool (exact ties, but
+             genuine-f32 cotangents through the layer's backward matmuls);
+      "keys" value chain stays in the compute dtype; a stop-gradient f32
+             key copy (same matmul accumulation — only elementwise BN/relu
+             is duplicated) decides winners/ties via exact_key_max_pool.
+
+    ``mdl`` owns the params (dense_{index}/bn_{index} — the MLP tree).
+    ``skip_dense`` handles layers with no Dense of their own
+    (LiftedGroupMLP's layer 0); ``x32`` then optionally supplies the
+    layer's unrounded f32 pre-BN input for exact keys.  Returns the pooled
+    tensor in the compute dtype.
+    """
+    from jax import lax
+
+    from scanobjectnn_tpu.ops.exactpool import exact_key_max_pool
+    from scanobjectnn_tpu.ops.pallas.satrain_kernel import _pool_f32_mode
+
+    mode = _pool_f32_mode() if train else "0"
+    cdtype = mdl.dtype or x.dtype
+    if mode == "keys":
+        if skip_dense:
+            h32 = (x32 if x32 is not None else x).astype(jnp.float32)
+            z = x
+        else:
+            h32 = Dense(
+                feature, dtype=mdl.dtype, keep_f32_output=True,
+                name=f"dense_{index}",
+            )(x)
+            z = h32.astype(cdtype)
+        if bn:
+            z, key = BatchNorm(
+                dtype=mdl.dtype, axis_name=mdl.bn_axis_name,
+                name=f"bn_{index}",
+            )(
+                z, use_running_average=not train, momentum=bn_momentum,
+                f32_key_input=h32,
+            )
+        else:
+            key = lax.stop_gradient(h32)
+        y = nn.relu(z)
+        key = jnp.maximum(key, 0.0)
+        return exact_key_max_pool(y, key, axis).astype(cdtype)
+    lastf = mode == "1"
+    if not skip_dense:
+        x = Dense(
+            feature, dtype=mdl.dtype, keep_f32_output=lastf,
+            name=f"dense_{index}",
+        )(x)
+    if bn:
+        x = BatchNorm(
+            dtype=jnp.float32 if lastf else mdl.dtype,
+            axis_name=mdl.bn_axis_name, name=f"bn_{index}",
+        )(x, use_running_average=not train, momentum=bn_momentum)
+    x = nn.relu(x)
+    return jnp.max(x, axis=axis).astype(cdtype)
 
 
 class MLP(nn.Module):
@@ -159,6 +254,11 @@ class MLP(nn.Module):
 
     ``bn=False`` drops normalization; ``activate_final=False`` leaves the last
     layer linear (classifier heads).
+
+    ``final_max_axis`` declares that the stack ends in a max-pool over that
+    axis: the MLP performs the pool itself (returning the pooled tensor) so
+    the pool_f32 mixed-precision modes (see ``mlp_final_max``) can keep the
+    final layer's tie structure exact in bf16 training.
     """
 
     features: Sequence[int]
@@ -166,6 +266,7 @@ class MLP(nn.Module):
     activate_final: bool = True
     dtype: jnp.dtype | None = None
     bn_axis_name: str | None = None
+    final_max_axis: int | None = None
 
     @nn.compact
     def __call__(
@@ -173,14 +274,21 @@ class MLP(nn.Module):
     ) -> jnp.ndarray:
         n = len(self.features)
         for i, f in enumerate(self.features):
-            x = Dense(f, dtype=self.dtype, name=f"dense_{i}")(x)
             last = i == n - 1
+            if last and self.final_max_axis is not None:
+                assert self.activate_final, "final_max_axis needs activation"
+                return mlp_final_max(
+                    self, x, f, i, self.final_max_axis, train, bn_momentum,
+                    bn=self.bn,
+                )
+            x = Dense(f, dtype=self.dtype, name=f"dense_{i}")(x)
             if last and not self.activate_final:
                 break
             if self.bn:
-                x = BatchNorm(dtype=self.dtype, axis_name=self.bn_axis_name, name=f"bn_{i}")(
-                    x, use_running_average=not train, momentum=bn_momentum
-                )
+                x = BatchNorm(
+                    dtype=self.dtype, axis_name=self.bn_axis_name,
+                    name=f"bn_{i}",
+                )(x, use_running_average=not train, momentum=bn_momentum)
             x = nn.relu(x)
         return x
 

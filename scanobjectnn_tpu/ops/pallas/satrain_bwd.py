@@ -86,7 +86,9 @@ def _pass_kernel(*refs, feats, k, tile, emit_j, final, r_count, bf16,
             h = jnp.dot(
                 cd(ys[-1]), cd(w_r[...]), preferred_element_type=jnp.float32
             ) + b_r[0]
-            h = cd(h)
+            # pool_f32: last layer's z stays f32 (see satrain_kernel).
+            if not (pool_f32 and i == n_layers - 1):
+                h = cd(h)
         hf = h.astype(jnp.float32)
         zhat = (hf - mean_r[0]) * lax.rsqrt(var_r[0] + _EPS)
         u = zhat * gamma_r[0] + beta_r[0]

@@ -66,16 +66,34 @@ __all__ = ["grouped_bn_mlp_pool"]
 _EPS = 1e-3  # BatchNorm default in this stack (tf_util.py:508)
 
 
-def _pool_f32() -> bool:
-    """Mixed-precision probe (round-3 VERDICT item 8): when training bf16,
-    keep the FINAL pre-pool layer's activations f32 so the max-pool's tie
-    structure / credit assignment is exact (bf16 rounding spuriously ties
-    near-equal rows and dilutes the pooled gradient), while every other
-    activation and matmul stays bf16.  Opt-in: SCANOBJECTNN_SA_POOL_F32=1.
-    No-op in f32 training.  Read at trace time (like the fused-train gate)."""
+def _pool_f32_mode() -> str:
+    """Mixed-precision max-pool modes (round-3 VERDICT item 8), selected by
+    SCANOBJECTNN_SA_POOL_F32 (read at trace time, like the fused-train gate):
+
+      "0"    — off (default): plain compute-dtype chain.
+      "1"    — the final pre-pool layer's activations stay f32, so the
+               pool's tie structure / credit assignment is exact (bf16
+               rounding spuriously ties near-equal rows and dilutes the
+               pooled gradient).  Measured: recovers synth-hard pointnet2
+               bf16 0.253 → 0.558 (f32: 0.575) but keeps only ~55% of the
+               bf16 speedup — the f32 activations force genuine-f32
+               cotangents through the last layer's backward matmuls.
+      "keys" — exact-key pooling (ops/exactpool.py): the value chain stays
+               fully bf16 (fast backward) and a stop-gradient f32 key copy
+               of the final activations decides winners/ties.  Unfused
+               module paths only (the fused train tail falls back to
+               unfused under this mode).
+
+    All modes are no-ops in f32 training."""
     import os
 
-    return os.environ.get("SCANOBJECTNN_SA_POOL_F32", "0") == "1"
+    v = os.environ.get("SCANOBJECTNN_SA_POOL_F32", "0")
+    return v if v in ("0", "1", "keys") else "1"
+
+
+def _pool_f32() -> bool:
+    """True for mode "1" — the form the fused satrain kernels implement."""
+    return _pool_f32_mode() == "1"
 
 
 def _layer_stats(z):
@@ -97,6 +115,7 @@ def _fwd_chain(z1, gammas, betas, ws, bs, means=None, variances=None):
     """
     cdtype = z1.dtype
     n_layers = len(gammas)
+    pool_f32 = _pool_f32()
     zs, zhats, ys = [], [], []
     out_means, out_vars = [], []
     h = z1
@@ -110,7 +129,12 @@ def _fwd_chain(z1, gammas, betas, ws, bs, means=None, variances=None):
                     preferred_element_type=jnp.float32,
                 )
                 + bs[i - 1]
-            ).astype(cdtype)
+            )
+            # pool_f32: the last layer's pre-BN z stays f32 as well —
+            # bf16-rounding z creates the same spurious pool ties as
+            # rounding y (equal-rounded z -> equal zhat -> equal y).
+            if not (i == n_layers - 1 and pool_f32):
+                h = h.astype(cdtype)
         if means is None:
             mean, var = _layer_stats(h)
         else:

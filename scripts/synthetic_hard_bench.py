@@ -129,14 +129,24 @@ def main(argv=None):
     # LONG budgets are the fair comparison.
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--num_point", type=int, default=128)
-    p.add_argument("--models", default=None, help="comma list filter")
+    p.add_argument("--models", default=None,
+                   help="comma list filter; entries are 'model' or "
+                   "'model:dtype' to select one dtype row")
     p.add_argument("--output", default="SYNTH_HARD.md")
     p.add_argument("--json", dest="json_out", default="synth_hard.json")
     p.add_argument("--merge", action="store_true",
                    help="merge the rows run now into an existing json "
                    "(rewrite only those; keep the rest) — lets a new row "
                    "land without re-training the whole table")
+    p.add_argument("--pool_f32", nargs="?", const="1", default=None,
+                   choices=["1", "keys"],
+                   help="set SCANOBJECTNN_SA_POOL_F32=<mode> (exact-pool "
+                   "mixed precision; '1' = f32 final layer, 'keys' = "
+                   "exact-key pooling) and tag the rows' dtype so they "
+                   "merge as distinct entries")
     args = p.parse_args(argv)
+    if args.pool_f32:
+        os.environ["SCANOBJECTNN_SA_POOL_F32"] = args.pool_f32
 
     # Clouds carry 2x the training point count (the h5 convention: 2048-pt
     # clouds subsampled to --num_point per epoch).  At num_point < ~512 the
@@ -147,10 +157,13 @@ def main(argv=None):
     selected = set(args.models.split(",")) if args.models else None
     results = []
     for model, supervision, dtype in ROWS:
-        if selected and model not in selected:
+        if selected and not {model, f"{model}:{dtype}"} & selected:
             continue
         print(f"=== {model} ({dtype}) ===", flush=True)
         r = run_row(model, supervision, dtype, train, test, args)
+        if args.pool_f32:
+            tag = "poolf32" if args.pool_f32 == "1" else "poolkeys"
+            r["dtype"] = f"{dtype}+{tag}"
         results.append(r)
         print(json.dumps(r), flush=True)
 
@@ -188,6 +201,13 @@ def main(argv=None):
             f"| {acc} | {seg} | {part} | {r['wall_sec']}s |"
         )
     table = "\n".join(lines) + "\n"
+    # Preserve hand-written analysis sections (everything from the first
+    # "## " heading onward) across table rewrites.
+    if os.path.isfile(args.output):
+        old_md = open(args.output).read()
+        cut = old_md.find("\n## ")
+        if cut >= 0:
+            table = table + old_md[cut:]
     with open(args.output, "w") as f:
         f.write(table)
     with open(args.json_out, "w") as f:

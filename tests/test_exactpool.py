@@ -1,0 +1,152 @@
+"""Tests for exact-key pooling (ops/exactpool.py) and the pool_f32 "keys"
+mode of the shared-MLP final layer (nn.layers.mlp_final_max):
+
+  * the op reduces to jnp.max (values + even-tie-split VJP) when key == y;
+  * spurious bf16 ties are broken by the f32 key (the mode's entire point);
+  * mode "keys" is value- and gradient-identical to mode "0" in f32;
+  * MLP(final_max_axis=...) keeps the MLP parameter tree and matches the
+    external-pool formulation in mode "0".
+
+Reference context: net-new mixed-precision mode (the reference trains f32
+only); the f32 training semantics being preserved are pointnet_util.py's
+conv+BN+relu+reduce_max stacks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scanobjectnn_tpu.nn.layers import MLP
+from scanobjectnn_tpu.nn.pointnet_modules import GroupMLPPool
+from scanobjectnn_tpu.ops.exactpool import exact_key_max_pool
+
+
+class TestOp:
+    def test_matches_jnp_max_when_key_is_y(self):
+        y = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 16))
+        y = y.at[:, 3, :].set(y[:, 5, :])  # exact ties
+        cot = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+
+        def a(yy):
+            return jnp.sum(exact_key_max_pool(yy, yy, 1) * cot)
+
+        def b(yy):
+            return jnp.sum(jnp.max(yy, axis=1) * cot)
+
+        np.testing.assert_array_equal(
+            exact_key_max_pool(y, y, 1), jnp.max(y, axis=1)
+        )
+        np.testing.assert_allclose(
+            jax.grad(a)(y), jax.grad(b)(y), rtol=1e-6, atol=1e-7
+        )
+
+    def test_spurious_bf16_tie_broken_by_key(self):
+        # Two rows that round to the SAME bf16 value but differ in f32:
+        # plain bf16 max splits the credit; exact keys give it to the true
+        # winner alone.
+        key = jnp.array([[[1.0], [1.0 + 1e-4], [0.5]]], jnp.float32)
+        y = key.astype(jnp.bfloat16)
+        assert y[0, 0, 0] == y[0, 1, 0]  # the spurious tie exists
+
+        g_plain = jax.grad(
+            lambda v: jnp.sum(jnp.max(v, axis=1).astype(jnp.float32))
+        )(y)
+        g_keys = jax.grad(
+            lambda v: jnp.sum(
+                exact_key_max_pool(v, key, 1).astype(jnp.float32)
+            )
+        )(y)
+        np.testing.assert_allclose(
+            np.asarray(g_plain, np.float32)[0, :, 0], [0.5, 0.5, 0.0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_keys, np.float32)[0, :, 0], [0.0, 1.0, 0.0]
+        )
+
+    def test_no_gradient_to_key(self):
+        y = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8))
+        key = y.astype(jnp.float32) * 2.0
+        g = jax.grad(
+            lambda k: jnp.sum(exact_key_max_pool(y, k, 1))
+        )(key)
+        np.testing.assert_array_equal(g, jnp.zeros_like(key))
+
+
+class TestKeysMode:
+    def _run(self, mdl, v, x):
+        return mdl.apply(
+            v, x, train=True, bn_momentum=0.8, mutable=["batch_stats"]
+        )
+
+    def test_f32_noop_values_and_grads(self, monkeypatch):
+        feats = (8, 12, 16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8, 6))
+        mdl = GroupMLPPool(feats)
+        v = mdl.init(jax.random.PRNGKey(1), x, train=True)
+        cot = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16))
+
+        def loss(params, xx):
+            out, _ = mdl.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                xx, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out * cot)
+
+        monkeypatch.setenv("SCANOBJECTNN_SA_POOL_F32", "0")
+        base, _ = self._run(mdl, v, x)
+        g0 = jax.grad(loss)(v["params"], x)
+        monkeypatch.setenv("SCANOBJECTNN_SA_POOL_F32", "keys")
+        flagged, _ = self._run(mdl, v, x)
+        gk = jax.grad(loss)(v["params"], x)
+        np.testing.assert_array_equal(base, flagged)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(gk)):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+    def test_bf16_param_tree_and_dtype(self, monkeypatch):
+        monkeypatch.setenv("SCANOBJECTNN_SA_POOL_F32", "keys")
+        feats = (8, 12, 16)
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (2, 16, 8, 6)
+        ).astype(jnp.bfloat16)
+        mdl = GroupMLPPool(feats, dtype=jnp.bfloat16)
+        v = mdl.init(jax.random.PRNGKey(1), x, train=True)
+        ref = MLP(feats).init(
+            jax.random.PRNGKey(1),
+            jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8, 6)),
+            train=True,
+        )
+        assert jax.tree.structure(v) == jax.tree.structure(ref)
+        out, _ = self._run(mdl, v, x)
+        assert out.dtype == jnp.bfloat16
+        # grads flow to every layer
+        def loss(params):
+            o, _ = mdl.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(o.astype(jnp.float32))
+
+        g = jax.grad(loss)(v["params"])
+        for path, leaf in jax.tree.leaves_with_path(g):
+            ps = jax.tree_util.keystr(path)
+            if "dense" in ps and "bias" in ps:
+                continue  # analytically ~0 feeding BN
+            assert np.abs(np.asarray(leaf, np.float32)).max() > 0, ps
+
+
+class TestMLPFinalMax:
+    def test_matches_external_pool_mode0(self, monkeypatch):
+        monkeypatch.setenv("SCANOBJECTNN_SA_POOL_F32", "0")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 6))
+        pooled_mdl = MLP((8, 16), final_max_axis=1)
+        v = pooled_mdl.init(jax.random.PRNGKey(1), x, train=True)
+        ref_mdl = MLP((8, 16))
+        vr = ref_mdl.init(jax.random.PRNGKey(1), x, train=True)
+        assert jax.tree.structure(v) == jax.tree.structure(vr)
+        a, _ = pooled_mdl.apply(
+            v, x, train=True, bn_momentum=0.8, mutable=["batch_stats"]
+        )
+        b, _ = ref_mdl.apply(
+            vr, x, train=True, bn_momentum=0.8, mutable=["batch_stats"]
+        )
+        np.testing.assert_array_equal(a, jnp.max(b, axis=1))

@@ -221,6 +221,40 @@ class TestGroupMLPPool:
         for a, b in zip(jax.tree.leaves(stats_f), jax.tree.leaves(stats_u)):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
 
+    def test_pool_f32_unfused_matches_fused(self, monkeypatch):
+        """The DEFAULT (unfused, XLA-AD) module path implements pool_f32
+        too — full bf16 speed with the exact-pool tail — and must match the
+        fused op's semantics under the flag (and be a no-op in f32)."""
+        feats = (8, 12, 16)
+        x32 = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 8, 6))
+        mdl32 = GroupMLPPool(feats)
+        v32 = mdl32.init(jax.random.PRNGKey(1), x32, train=True)
+
+        def run(mdl, v, xx):
+            return mdl.apply(
+                v, xx, train=True, bn_momentum=0.8, mutable=["batch_stats"]
+            )
+
+        monkeypatch.setenv("SCANOBJECTNN_FUSED_SA_TRAIN", "0")
+        base, _ = run(mdl32, v32, x32)
+        monkeypatch.setenv("SCANOBJECTNN_SA_POOL_F32", "1")
+        flagged, _ = run(mdl32, v32, x32)
+        np.testing.assert_array_equal(base, flagged)  # f32: exact no-op
+
+        mdl16 = GroupMLPPool(feats, dtype=jnp.bfloat16)
+        x16 = x32.astype(jnp.bfloat16)
+        v16 = mdl16.init(jax.random.PRNGKey(1), x16, train=True)
+        pooled_u, stats_u = run(mdl16, v16, x16)
+        assert pooled_u.dtype == jnp.bfloat16
+        monkeypatch.setenv("SCANOBJECTNN_FUSED_SA_TRAIN", "1")
+        pooled_f, stats_f = run(mdl16, v16, x16)
+        np.testing.assert_allclose(
+            np.asarray(pooled_u, np.float32), np.asarray(pooled_f, np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
+        for a, b in zip(jax.tree.leaves(stats_u), jax.tree.leaves(stats_f)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
     def test_grads_match_unfused(self, monkeypatch):
         mdl, variables, x = self._mk(True, monkeypatch)
         cot = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16))
