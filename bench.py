@@ -87,11 +87,16 @@ def _cost_analysis(compiled) -> dict:
     return dict(ca) if ca else {}
 
 
-def _timed_ms(fn, args, n_iters: int = 30) -> float:
-    """Wall ms/iter of ``fn`` chained serially inside one jit (a scalar
-    readback is the only reliable barrier on this image's tunneled TPU).
-    ``args`` is a pytree of float arrays; every leaf is perturbed by the
-    chained scalar each iteration so XLA cannot hoist the body."""
+# Two-point iteration counts for the dispatch-free fit (see _timed_ms).
+N_LO, N_HI = 30, 300
+
+
+def _chain_seconds(fn, args, n_iters: int, repeats: int = 3) -> float:
+    """Best-of-``repeats`` wall seconds of ``fn`` chained ``n_iters`` times
+    serially inside ONE jit (a scalar readback is the only reliable barrier
+    on this image's tunneled TPU).  ``args`` is a pytree of float arrays;
+    every leaf is perturbed by the chained scalar each iteration so XLA
+    cannot hoist the body."""
 
     @jax.jit
     def chained(args):
@@ -108,9 +113,26 @@ def _timed_ms(fn, args, n_iters: int = 30) -> float:
         return acc
 
     float(chained(args))  # compile + warmup
-    t0 = time.perf_counter()
-    float(chained(args))
-    return (time.perf_counter() - t0) / n_iters * 1000.0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(chained(args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _timed_ms(fn, args) -> float:
+    """Steady-state wall ms/iter of ``fn``: the SLOPE of total wall time
+    between N_LO- and N_HI-iteration chains.  A single chained call pays a
+    fixed ~24-37 ms host->device dispatch + readback on this tunneled TPU
+    (measured: a no-op chain costs ~37 ms regardless of iteration count);
+    dividing one call's wall by its iteration count therefore inflates every
+    number by ~C/n (+0.9 ms/iter at n=30 — the round-3 bench and probe
+    tables carried exactly this artifact).  The two-point fit cancels the
+    fixed term; the throughput a pipelined serving loop sees is the slope."""
+    t_lo = _chain_seconds(fn, args, N_LO)
+    t_hi = _chain_seconds(fn, args, N_HI)
+    return max((t_hi - t_lo) / (N_HI - N_LO), 0.0) * 1000.0
 
 
 def _phase_ms(points, model, variables) -> dict:
@@ -196,27 +218,20 @@ def main() -> None:
     ca = _cost_analysis(jax.jit(forward).lower(points).compile())
 
     # Honest timing on this image's tunneled TPU: block_until_ready is NOT a
-    # reliable barrier (it can return before execution), so the benchmark is
-    # a serial fori_loop chain inside ONE jit, synced by a host readback.
-    n_iters = 30
+    # reliable barrier (it can return before execution), so each measurement
+    # is a serial fori_loop chain inside ONE jit, synced by a host readback —
+    # and the reported time is the steady-state SLOPE between a 30- and a
+    # 300-iteration chain, which cancels the fixed ~24-37 ms per-call
+    # dispatch (see _timed_ms; the round-3 headline divided a single
+    # 30-iteration call by 30 and so over-reported batch_ms by ~0.9).
+    fwd_fn = lambda pts: forward(pts).astype(jnp.float32)
+    t_lo = _chain_seconds(fwd_fn, points, N_LO)
+    t_hi = _chain_seconds(fwd_fn, points, N_HI)
+    secs_per_iter = max((t_hi - t_lo) / (N_HI - N_LO), 1e-9)
+    dispatch_ms = max(t_lo - secs_per_iter * N_LO, 0.0) * 1000.0
 
-    @jax.jit
-    def chained(pts):
-        def body(i, carry):
-            pts, acc = carry
-            logits = forward(pts)
-            pts = pts * (1.0 + 1e-12 * jnp.mean(logits).astype(pts.dtype))
-            return pts, acc + jnp.sum(logits.astype(jnp.float32))
-        _, acc = jax.lax.fori_loop(0, n_iters, body, (pts, jnp.float32(0)))
-        return acc
-
-    float(chained(points))  # compile + warmup
-    t0 = time.perf_counter()
-    float(chained(points))  # device->host readback = true barrier
-    dt = time.perf_counter() - t0
-
-    clouds_per_sec = BATCH * n_iters / dt
-    batch_ms = dt / n_iters * 1000.0
+    clouds_per_sec = BATCH / secs_per_iter
+    batch_ms = secs_per_iter * 1000.0
     phases = _phase_ms(points, model, variables)
     phases["sa3_head_rest"] = round(
         max(batch_ms - phases["fps"] - phases["fused_sa_layers"], 0.0), 2
@@ -227,6 +242,7 @@ def main() -> None:
         "unit": "clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / REFERENCE_CLOUDS_PER_SEC, 2),
         "batch_ms": round(batch_ms, 2),
+        "dispatch_fixed_ms": round(dispatch_ms, 2),
         "phase_ms": phases,
     }
 
@@ -234,7 +250,6 @@ def main() -> None:
     flops_xla = float(ca.get("flops", 0.0))  # excludes Pallas kernel internals
     bytes_accessed = float(ca.get("bytes accessed", 0.0))
     if flops > 0 and bytes_accessed > 0:
-        secs_per_iter = dt / n_iters
         achieved_flops = flops / secs_per_iter
         achieved_bps = bytes_accessed / secs_per_iter
         mfu = achieved_flops / PEAK_FLOPS

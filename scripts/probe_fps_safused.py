@@ -38,28 +38,47 @@ from scanobjectnn_tpu.ops.pallas.ballquery_kernel import (
 from scanobjectnn_tpu.ops.pallas.onehot import _split_matmul, bf16_pack_traced
 
 B = 128
-ITERS = 30
+# Two-point iteration counts: one chained jit call pays a fixed ~24-37 ms
+# host dispatch + readback on this tunneled TPU (a no-op chain costs ~37 ms
+# at ANY iteration count), so dividing a single call by its iteration count
+# inflates every row by ~C/n (+0.9 ms at n=30 — the round-3 probe tables
+# carried exactly this artifact; it is why an XLA transpose "measured"
+# 0.92 ms when its true cost is ~5 us).  The slope between a 30- and a
+# 300-iteration chain cancels the fixed term.
+ITERS_LO, ITERS_HI = 30, 300
 
 
-def timed(name, f, *args, iters=ITERS):
-    @jax.jit
-    def chain(*a):
-        def body(i, carry):
-            a0, acc = carry
-            out = f(a0, *a[1:]).astype(jnp.float32)
-            return a0 * (1.0 + 1e-20 * out), acc + out
+def timed(name, f, *args):
+    def chain_secs(iters):
+        @jax.jit
+        def chain(*a):
+            def body(i, carry):
+                a0, acc = carry
+                out = jnp.sum(f(a0, *a[1:]).astype(jnp.float32))
+                return jax.tree.map(
+                    lambda t: t * (1.0 + 1e-20 * out).astype(t.dtype), a0
+                ), acc + out
 
-        a0, acc = lax.fori_loop(0, iters, body, (a[0], jnp.float32(0)))
-        return acc + jnp.sum(a0).astype(jnp.float32) * 0e0
+            a0, acc = lax.fori_loop(0, iters, body, (a[0], jnp.float32(0)))
+            tail = sum(
+                jnp.sum(t).astype(jnp.float32) for t in jax.tree.leaves(a0)
+            )
+            return acc + tail * 0e0
 
-    float(chain(*args))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
         float(chain(*args))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    print(f"{name:58s} {best * 1e3:8.3f} ms", flush=True)
-    return best * 1e3
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    slope = max(
+        (chain_secs(ITERS_HI) - chain_secs(ITERS_LO)) / (ITERS_HI - ITERS_LO),
+        0.0,
+    )
+    print(f"{name:58s} {slope * 1e3:8.3f} ms", flush=True)
+    return slope * 1e3
 
 
 # --------------------------------------------------------------------------
@@ -429,9 +448,20 @@ def probe_fps():
 
         return run
 
-    print("--- FPS cripple terms (npoint=512, no coords out) ---")
+    print("--- FPS cripple terms (npoint curve per mode, no coords out) ---")
     for mode in ("donly", "noext", "fullstep"):
-        timed(f"fps cripple [{mode}]", mk(mode), pts)
+        prev = None
+        for npoint in (64, 512):
+            t = timed(f"fps cripple [{mode}] npoint={npoint}", mk(mode, npoint), pts)
+            if prev is not None:
+                print(f"    marginal: {(t - prev) / (npoint - 64) * 1e3:.2f} us/round")
+            prev = t
+
+    # Fixed-cost probes: the XLA transpose feeding the kernel, and the
+    # kernel at npoint=2 (pure launch + DMA + scratch init).
+    timed("xla transpose [B,N,3]->[B,3,N]",
+          lambda p: jnp.transpose(p, (0, 2, 1)).sum()[None], pts)
+    timed("fps cripple [fullstep] npoint=8 (launch+DMA)", mk("fullstep", 8), pts)
 
 
 def main():
