@@ -28,7 +28,6 @@ and GB/s vs TPU v5e peaks (197 TFLOP/s bf16, 819 GB/s HBM).
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -87,52 +86,21 @@ def _cost_analysis(compiled) -> dict:
     return dict(ca) if ca else {}
 
 
-# Two-point iteration counts for the dispatch-free fit (see _timed_ms).
-N_LO, N_HI = 30, 300
-
-
-def _chain_seconds(fn, args, n_iters: int, repeats: int = 3) -> float:
-    """Best-of-``repeats`` wall seconds of ``fn`` chained ``n_iters`` times
-    serially inside ONE jit (a scalar readback is the only reliable barrier
-    on this image's tunneled TPU).  ``args`` is a pytree of float arrays;
-    every leaf is perturbed by the chained scalar each iteration so XLA
-    cannot hoist the body."""
-
-    @jax.jit
-    def chained(args):
-        def body(i, carry):
-            args, acc = carry
-            out = fn(args)
-            s = jnp.sum(out.astype(jnp.float32))
-            args = jax.tree.map(
-                lambda a: a * (1.0 + 1e-12 * s.astype(a.dtype)), args
-            )
-            return args, acc + s
-
-        _, acc = jax.lax.fori_loop(0, n_iters, body, (args, jnp.float32(0)))
-        return acc
-
-    float(chained(args))  # compile + warmup
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(chained(args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+# Timing methodology lives in utils/chipbench.py: serial fori_loop chains
+# inside ONE jit synced by a host scalar readback (block_until_ready is NOT
+# a barrier here), at TWO iteration counts so the fixed ~24-37 ms per-call
+# dispatch cancels (the round-3 bench divided one 30-iteration call by 30
+# and so over-reported every number by ~0.9 ms/iter).
+from scanobjectnn_tpu.utils.chipbench import (
+    ITERS_HI,
+    ITERS_LO,
+    chain_seconds,
+    timed_ms,
+)
 
 
 def _timed_ms(fn, args) -> float:
-    """Steady-state wall ms/iter of ``fn``: the SLOPE of total wall time
-    between N_LO- and N_HI-iteration chains.  A single chained call pays a
-    fixed ~24-37 ms host->device dispatch + readback on this tunneled TPU
-    (measured: a no-op chain costs ~37 ms regardless of iteration count);
-    dividing one call's wall by its iteration count therefore inflates every
-    number by ~C/n (+0.9 ms/iter at n=30 — the round-3 bench and probe
-    tables carried exactly this artifact).  The two-point fit cancels the
-    fixed term; the throughput a pipelined serving loop sees is the slope."""
-    t_lo = _chain_seconds(fn, args, N_LO)
-    t_hi = _chain_seconds(fn, args, N_HI)
-    return max((t_hi - t_lo) / (N_HI - N_LO), 0.0) * 1000.0
+    return timed_ms(fn, args)
 
 
 def _phase_ms(points, model, variables) -> dict:
@@ -225,10 +193,10 @@ def main() -> None:
     # dispatch (see _timed_ms; the round-3 headline divided a single
     # 30-iteration call by 30 and so over-reported batch_ms by ~0.9).
     fwd_fn = lambda pts: forward(pts).astype(jnp.float32)
-    t_lo = _chain_seconds(fwd_fn, points, N_LO)
-    t_hi = _chain_seconds(fwd_fn, points, N_HI)
-    secs_per_iter = max((t_hi - t_lo) / (N_HI - N_LO), 1e-9)
-    dispatch_ms = max(t_lo - secs_per_iter * N_LO, 0.0) * 1000.0
+    t_lo = chain_seconds(fwd_fn, points, iters=ITERS_LO)
+    t_hi = chain_seconds(fwd_fn, points, iters=ITERS_HI)
+    secs_per_iter = max((t_hi - t_lo) / (ITERS_HI - ITERS_LO), 1e-9)
+    dispatch_ms = max(t_lo - secs_per_iter * ITERS_LO, 0.0) * 1000.0
 
     clouds_per_sec = BATCH / secs_per_iter
     batch_ms = secs_per_iter * 1000.0

@@ -13,7 +13,6 @@ Usage: python scripts/profile_satrain_layers.py
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,28 +20,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-ITERS = 30
+from scanobjectnn_tpu.utils.chipbench import timed_ms
 
-
-def timed(name, f, *args, iters=ITERS):
-    @jax.jit
-    def chain(*a):
-        def body(i, carry):
-            a0, acc = carry
-            out = f(a0, *a[1:]).astype(jnp.float32)
-            return a0 * (1.0 + 1e-20 * out).astype(a0.dtype), acc + out
-
-        a0, acc = lax.fori_loop(0, iters, body, (a[0], jnp.float32(0)))
-        return acc + jnp.sum(a0).astype(jnp.float32) * 0e0
-
-    float(chain(*args))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chain(*args))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    print(f"{name:58s} {best * 1e3:8.3f} ms", flush=True)
-    return best * 1e3
+def timed(name, f, *args):
+    """f(*args) -> scalar-summable output; returns steady-state MS."""
+    return timed_ms(f, *args, lo=20, hi=100, name=name)
 
 
 # SA layer shapes at the BENCHMARKS.md train configs.

@@ -3,14 +3,13 @@
 chip, to direct kernel work at the measured bottleneck (VERDICT.md weak #4:
 both must reach <=40 ms/step at B32/N1024).
 
-Methodology matches bench.py: every timing is a serial lax.fori_loop chain
-inside ONE jit, synced by a host scalar readback (block_until_ready is NOT a
-barrier on this image's tunneled TPU).
+Methodology matches bench.py (utils/chipbench.py): serial lax.fori_loop
+chains inside ONE jit synced by a host scalar readback, timed at TWO
+iteration counts so the fixed ~24-37 ms per-call dispatch cancels.
 """
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -18,31 +17,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from scanobjectnn_tpu.utils.chipbench import timed_ms
+
 B, N, K = 32, 1024, 20
-ITERS = 20
 
 
-def timed(name, f, *args, iters=ITERS):
-    """f(*args) -> f32 scalar; serial chain via perturbing args[0]."""
-
-    @jax.jit
-    def chain(*a):
-        def body(i, carry):
-            a0, acc = carry
-            out = f(a0, *a[1:]).astype(jnp.float32)
-            return a0 * (1.0 + 1e-20 * out), acc + out
-
-        a0, acc = lax.fori_loop(0, iters, body, (a[0], jnp.float32(0)))
-        return acc + jnp.sum(a0).astype(jnp.float32) * 0e0
-
-    float(chain(*args))  # compile + warmup
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chain(*args))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    print(f"{name:55s} {best * 1e3:8.2f} ms")
-    return best
+def timed(name, f, *args):
+    """f(*args) -> f32 scalar; returns steady-state SECONDS/iter."""
+    return timed_ms(f, *args, lo=20, hi=100, name=name) / 1e3
 
 
 def main():
