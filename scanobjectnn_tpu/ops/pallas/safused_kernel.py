@@ -38,6 +38,7 @@ are sublane-only), so callers that need idx keep K <= 64.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,7 @@ __all__ = ["sa_ball_mlp_pool"]
 def _safused_kernel(
     xyz_ref, new_xyz_ref, split_ref, tri_ref, *refs,
     radius, nsample, feats, has_src, use_xyz, src_c, cdtype, prelifted,
+    stacked,
 ):
     """refs order after the fixed four: [srcp?], W0x (use_xyz), W0f or W0
     (absent when prelifted: srcp already carries feats @ W0f), b0, W1, b1,
@@ -131,14 +133,12 @@ def _safused_kernel(
     if has_src:
         srcp = srcp_ref[0]  # [N, terms*src_c] bf16
 
-    def mlp_chunk(coords_k, idxs_k):
-        """[T, feats[-1]] max-pool over a chunk of per-slot values."""
-        kc = len(coords_k)
+    def mlp_rows(c3, idxk, kc):
+        """[T, feats[-1]] max-pool over ``kc`` slots already merged to rows:
+        c3 [kc*T, 3] centered coords, idxk [kc*T, 1] int32 padded indices."""
         rows = kc * tile
         h = None
         if has_src:
-            # [KC, T, 1] -> [KC*T, 1]: leading-dim merge, layout-preserving.
-            idxk = jnp.stack(idxs_k, axis=0).reshape(rows, 1)
             iota_n = lax.broadcasted_iota(jnp.int32, (rows, n), 1)
             oh = (iota_n == idxk).astype(jnp.bfloat16)  # [KC*T, N]
             g = _split_matmul(oh, srcp, src_c)  # [KC*T, src_c] f32 exact
@@ -150,7 +150,6 @@ def _safused_kernel(
                     preferred_element_type=jnp.float32,
                 )
         if use_xyz or not has_src:
-            c3 = jnp.stack(coords_k, axis=0).reshape(rows, 3)
             wx = w0x_ref[...] if w0x_ref is not None else w0_ref[...]
             hx = jnp.dot(
                 c3.astype(cdtype), wx, preferred_element_type=jnp.float32
@@ -165,22 +164,87 @@ def _safused_kernel(
             h = jnp.maximum(h + b_ref[0], 0.0)
         return jnp.max(h.reshape(kc, tile, feats[-1]), axis=0)
 
+    def mlp_chunk(coords_k, idxs_k):
+        """mlp_rows over per-slot [T, 3] / [T, 1] lists (the unstacked
+        form); the K-leading stack -> row merge is layout-preserving."""
+        kc = len(coords_k)
+        c3 = jnp.stack(coords_k, axis=0).reshape(kc * tile, 3)
+        idxk = jnp.stack(idxs_k, axis=0).reshape(kc * tile, 1)
+        return mlp_rows(c3, idxk, kc)
+
+    def slot_vals_stacked(base, kc):
+        """(coords [kc*T, 3] centered padded, idx [kc*T, 1] int32 padded)
+        for slots base..base+kc-1 via ONE [kc*T, N] one-hot matmul (vs kc
+        small [T, N] ones — same MXU tile-steps, 1/kc the matmul issues;
+        the stacked one-hot is built by a single broadcast compare, NOT by
+        concatenating per-slot one-hots, which is the sublane-copy cost
+        that sank the round-3 stacked-8 variant).  ``base`` may be traced
+        (the K > 64 chunk loop)."""
+        # int32 iota then cast: Mosaic's tpu.iota cannot emit f32 directly.
+        kf = base + 1.0 + lax.broadcasted_iota(
+            jnp.int32, (kc, 1, 1), 0
+        ).astype(jnp.float32)
+        ohs = jnp.where(slot[None, :, :] == kf, 1.0, 0.0).astype(jnp.bfloat16)
+        e = lax.dot_general(
+            ohs.reshape(kc * tile, n), split, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [kc*T, 16]
+
+        def bcast(t):  # [T, 1] -> [kc*T, 1], leading-dim merge
+            return jnp.broadcast_to(t[None], (kc, tile, 1)).reshape(
+                kc * tile, 1
+            )
+
+        v = jnp.broadcast_to(kf - 1.0, (kc, tile, 1)).reshape(
+            kc * tile, 1
+        ) < bcast(cnt2.astype(jnp.float32))
+        gx = jnp.where(v, e[:, 0:1] + e[:, 3:4] + e[:, 6:7], bcast(fx)) - bcast(qx)
+        gy = jnp.where(v, e[:, 1:2] + e[:, 4:5] + e[:, 7:8], bcast(fy)) - bcast(qy)
+        gz = jnp.where(v, e[:, 2:3] + e[:, 5:6] + e[:, 8:9], bcast(fz)) - bcast(qz)
+        c3 = jnp.concatenate([gx, gy, gz], axis=1)
+        ik = jnp.where(v, e[:, 9:10] + e[:, 10:11], bcast(fi)).astype(jnp.int32)
+        return c3, ik
+
     acc = jnp.full((tile, feats[-1]), -jnp.inf, jnp.float32)
-    if nsample <= 64:
+    kc = 1
+    for cand in range(1, nsample + 1):
+        if nsample % cand == 0 and cand * tile <= 2048:
+            kc = cand
+    if nsample <= 64 and stacked:
+        # Stacked slots: one [kc*T, N] one-hot matmul per chunk.  idx comes
+        # out slot-major ([kc*T, 1] rows); ONE [K, T] -> [T, K] relayout at
+        # the end re-lanes it for the [B, M, K] contract.
+        iks = []
+        for chunk in range(nsample // kc):
+            c3, ik = slot_vals_stacked(float(chunk * kc), kc)
+            iks.append(ik)
+            acc = jnp.maximum(acc, mlp_rows(c3, ik, kc))
+        idx_ref[0, :, :] = (
+            jnp.concatenate(iks, axis=0).reshape(nsample, tile).T
+        )
+    elif nsample <= 64:
         # Fully unrolled slots (best ILP, sane compile — the round-3 ball
         # kernel measurement); idx emitted for the SA-module contract.
         vals = [slot_vals(k) for k in range(nsample)]
         idx_ref[0, :, :] = jnp.concatenate([ik for _, ik in vals], axis=1)
-        kc = 1
-        for cand in range(1, nsample + 1):
-            if nsample % cand == 0 and cand * tile <= 2048:
-                kc = cand
         for chunk in range(nsample // kc):
             sl = slice(chunk * kc, (chunk + 1) * kc)
             acc = jnp.maximum(
                 acc,
                 mlp_chunk([c for c, _ in vals[sl]], [ik for _, ik in vals[sl]]),
             )
+    elif stacked:
+        # K > 64 (MSG): fori_loop over stacked 16-slot chunks; no idx
+        # (same contract as the unstacked chunk path below).
+        chunkw = 16
+
+        def body_stk(j, acc):
+            c3, ik = slot_vals_stacked(
+                (j * chunkw).astype(jnp.float32), chunkw
+            )
+            return jnp.maximum(acc, mlp_rows(c3, ik, chunkw))
+
+        acc = lax.fori_loop(0, nsample // chunkw, body_stk, acc)
     else:
         # K > 64: fori_loop over 16-slot unrolled chunks (a fully-unrolled
         # K=128 program explodes Mosaic compile time — the round-3 ball
@@ -203,10 +267,11 @@ def _safused_kernel(
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7, 8, 9, 10))
 def _sa_ball_mlp_call(
     radius, nsample, xyz, new_xyz, src, weights_and_biases,
-    feats: tuple, use_xyz: bool, prelifted: bool, interpret: bool,
+    feats: tuple, use_xyz: bool, prelifted: bool, stacked: bool,
+    interpret: bool,
 ):
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
@@ -257,7 +322,7 @@ def _sa_ball_mlp_call(
     kernel = functools.partial(
         _safused_kernel, radius=radius, nsample=nsample, feats=feats,
         has_src=has_src, use_xyz=use_xyz, src_c=src_c, cdtype=cdtype,
-        prelifted=prelifted,
+        prelifted=prelifted, stacked=stacked,
     )
     out_specs = [
         pl.BlockSpec(
@@ -324,6 +389,10 @@ def sa_ball_mlp_pool(
     assert nsample <= 64 or nsample % 16 == 0, (
         "fused SA layer needs K <= 64 (unrolled) or K % 16 == 0 (chunked)"
     )
+    # Stacked slot extraction (one [kc*T, N] one-hot matmul per chunk via a
+    # broadcast compare) vs per-slot [T, N] matmuls.  Opt-in until the
+    # on-chip A/B lands; bit-parity between the two paths is tested.
+    stacked = os.environ.get("SCANOBJECTNN_SA_STACKED", "0") == "1"
     has_src = src_feats is not None
     feats = tuple(int(w.shape[1]) for w in weights)
     cdtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
@@ -359,5 +428,5 @@ def sa_ball_mlp_pool(
 
     return _sa_ball_mlp_call(
         radius, nsample, xyz, new_xyz, src, wab, feats, use_xyz, prelifted,
-        interpret
+        stacked, interpret
     )

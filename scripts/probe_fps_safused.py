@@ -173,6 +173,135 @@ def _probe_kernel(
         ik = jnp.where(v, i0, fi).astype(jnp.int32)
         return jnp.concatenate([gx, gy, gz], axis=1), ik
 
+    if mode == "slotstk":
+        # Stacked extraction: ONE [KC*T, N] one-hot matmul per KC-slot chunk
+        # (the samlp feature-gather shape) instead of KC small [T, N]
+        # matmuls — same MXU tile-steps, 1/KC the matmul launches.  No
+        # padding (compare against slotsnp).
+        kc = 1
+        for cand in range(1, nsample + 1):
+            if nsample % cand == 0 and cand * tile <= 2048:
+                kc = cand
+        rows = kc * tile
+        acc = jnp.full((tile, feats[-1]), -jnp.inf, jnp.float32)
+        slot_b = slot[None, :, :]  # [1, T, N]
+        for chunk in range(nsample // kc):
+            kvals = (
+                chunk * kc + 1.0
+                + lax.broadcasted_iota(jnp.int32, (kc, 1, 1), 0)
+                .astype(jnp.float32)
+            )  # [KC, 1, 1]; int32 iota (Mosaic cannot emit f32 iota)
+            ohs = jnp.where(slot_b == kvals, 1.0, 0.0).astype(jnp.bfloat16)
+            e = lax.dot_general(
+                ohs.reshape(rows, n), split, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [KC*T, 16]
+            gx = e[:, 0:1] + e[:, 3:4] + e[:, 6:7]
+            gy = e[:, 1:2] + e[:, 4:5] + e[:, 7:8]
+            gz = e[:, 2:3] + e[:, 5:6] + e[:, 8:9]
+            s = (gx + gy + gz).reshape(kc, tile, 1)
+            acc = jnp.maximum(
+                acc, jnp.max(s, axis=0) * jnp.ones((1, feats[-1]), jnp.float32)
+            )
+        out_ref[0] = acc.astype(out_ref.dtype)
+        return
+
+    if mode in ("stkfull", "stkpad", "stkpad2", "stkfull2"):
+        # Stacked-extraction ladder:
+        #   stkpad    + in-loop bcast padding, NO gather/MLP  (vs slotstk ->
+        #               the padding term as first written)
+        #   stkpad2   + padding with ALL loop-invariant broadcasts hoisted
+        #               out of the chunk loop (fallbacks/query/count/iota
+        #               are chunk-independent; Mosaic does not CSE them)
+        #   stkfull   + padding (in-loop bcasts) + gather + MLP + pool
+        #   stkfull2  + padding (hoisted) + gather + MLP + pool — the
+        #               production-fix candidate, bit-exact semantics
+        # No idx output in any (production carries a [K,T]->[T,K] relayout
+        # on top).
+        hoist = mode in ("stkpad2", "stkfull2")
+        do_mlp_s = mode in ("stkfull", "stkfull2")
+        kc = 1
+        for cand in range(1, nsample + 1):
+            if nsample % cand == 0 and cand * tile <= 2048:
+                kc = cand
+        rows = kc * tile
+        acc = jnp.full((tile, feats[-1]), -jnp.inf, jnp.float32)
+        cntf = cnt2.astype(jnp.float32)
+
+        def bcast(t):
+            return jnp.broadcast_to(t[None], (kc, tile, 1)).reshape(rows, 1)
+
+        if hoist:
+            iota_k = lax.broadcasted_iota(jnp.int32, (kc, tile, 1), 0).astype(
+                jnp.float32
+            ).reshape(rows, 1)
+            CNT, FX, FY, FZ, FI = (bcast(t) for t in (cntf, fx, fy, fz, fi))
+            QX, QY, QZ = bcast(qx), bcast(qy), bcast(qz)
+        for chunk in range(nsample // kc):
+            kf = (
+                chunk * kc + 1.0
+                + lax.broadcasted_iota(jnp.int32, (kc, 1, 1), 0)
+                .astype(jnp.float32)
+            )
+            ohs = jnp.where(slot[None, :, :] == kf, 1.0, 0.0).astype(
+                jnp.bfloat16
+            )
+            e = lax.dot_general(
+                ohs.reshape(rows, n), split, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if hoist:
+                v = (iota_k + float(chunk * kc)) < CNT
+                gx = jnp.where(v, e[:, 0:1] + e[:, 3:4] + e[:, 6:7], FX) - QX
+                gy = jnp.where(v, e[:, 1:2] + e[:, 4:5] + e[:, 7:8], FY) - QY
+                gz = jnp.where(v, e[:, 2:3] + e[:, 5:6] + e[:, 8:9], FZ) - QZ
+                ik = jnp.where(v, e[:, 9:10] + e[:, 10:11], FI).astype(jnp.int32)
+            else:
+                v = jnp.broadcast_to(kf - 1.0, (kc, tile, 1)).reshape(
+                    rows, 1
+                ) < bcast(cntf)
+                gx = jnp.where(v, e[:, 0:1] + e[:, 3:4] + e[:, 6:7], bcast(fx)) - bcast(qx)
+                gy = jnp.where(v, e[:, 1:2] + e[:, 4:5] + e[:, 7:8], bcast(fy)) - bcast(qy)
+                gz = jnp.where(v, e[:, 2:3] + e[:, 5:6] + e[:, 8:9], bcast(fz)) - bcast(qz)
+                ik = jnp.where(v, e[:, 9:10] + e[:, 10:11], bcast(fi)).astype(jnp.int32)
+            if not do_mlp_s:
+                s = (gx + gy + gz + ik.astype(jnp.float32) * 1e-9).reshape(
+                    kc, tile, 1
+                )
+                acc = jnp.maximum(
+                    acc,
+                    jnp.max(s, axis=0) * jnp.ones((1, feats[-1]), jnp.float32),
+                )
+                continue
+            h = None
+            if has_src:
+                iota_n = lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+                oh2 = (iota_n == ik).astype(jnp.bfloat16)
+                g = _split_matmul(oh2, srcp_ref[0], src_c)
+                h = jnp.dot(
+                    g.astype(cdtype), w0f_ref[...],
+                    preferred_element_type=jnp.float32,
+                )
+            c3 = jnp.concatenate([gx, gy, gz], axis=1)
+            hx = jnp.dot(
+                c3.astype(cdtype), w0x_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            h = hx if h is None else h + hx
+            h = jnp.maximum(h + b0_ref[0], 0.0)
+            for i in range(len(feats) - 1):
+                w_ref, b_ref = wb[2 * i], wb[2 * i + 1]
+                h = jnp.dot(
+                    h.astype(cdtype), w_ref[...],
+                    preferred_element_type=jnp.float32,
+                )
+                h = jnp.maximum(h + b_ref[0], 0.0)
+            acc = jnp.maximum(
+                acc, jnp.max(h.reshape(kc, tile, feats[-1]), axis=0)
+            )
+        out_ref[0] = acc.astype(out_ref.dtype)
+        return
+
     pad = mode not in ("slotsnp",)
     do_mlp = mode in ("nogather", "full")
     do_gather = mode == "full" and has_src
@@ -282,6 +411,7 @@ def probe_sa(radius, nsample, n, m, feats, src_c, mode):
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((b, m, feats[-1]), cdtype),
+            interpret=os.environ.get("PROBE_INTERPRET") == "1",
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
@@ -327,7 +457,11 @@ def probe_sa_layers(which):
 
     if which in ("sa2", "all"):
         print("--- SA2: N=512 M=128 K=64 feats (128,128,256), src C=128 ---")
-        for mode in ("base", "rank", "slotsnp", "slots", "nogather", "full"):
+        sa2_modes = ("base", "rank", "slotsnp", "slotstk", "slots",
+                     "nogather", "full", "stkfull")
+        if os.environ.get("PROBE_MODES"):
+            sa2_modes = tuple(os.environ["PROBE_MODES"].split(","))
+        for mode in sa2_modes:
             f = probe_sa(0.4, 64, 512, 128, (128, 128, 256), 128, mode)
             results[f"sa2_{mode}"] = timed(
                 f"SA2 [{mode}]", lambda a, f=f: f(a)[None], (new1, new2, feats1)
@@ -348,6 +482,47 @@ def probe_sa_layers(which):
         results["sa2_full"] = timed("SA2 [full production]", sa2_full,
                                     (new1, new2, feats1))
     return results
+
+
+def probe_sa2_scaling():
+    """Discriminate WHERE SA2's extraction overhead lives (round-4 floor
+    table: measured 16.6 us/program vs 5.3 us of MXU tile-steps).  The
+    extraction is K independent [T, N] @ [N, 16] matmuls; its cost model is
+    t = K * (per-slot fixed + N/128 * step) + base.  The K-curve at two Ns
+    separates per-slot fixed cost (intercept slope) from contraction work
+    (N-proportional slope)."""
+    from scanobjectnn_tpu import ops
+
+    key = jax.random.PRNGKey(3)
+    pts = jax.random.normal(key, (B, 2048, 3), jnp.float32)
+    _, new1 = ops.farthest_point_sample_with_coords(pts, 512)
+    new1 = jax.block_until_ready(new1)
+    _, new2 = ops.farthest_point_sample_with_coords(new1, 128)
+    new2 = jax.block_until_ready(new2)
+    pts1024 = jax.random.normal(key, (B, 1024, 3), jnp.float32)
+
+    for n, cloud in ((512, new1), (1024, pts1024)):
+        print(f"--- SA2-shape extraction K-curve (N={n} M=128, xyz-only, "
+              "slotsnp - base marginals) ---")
+        base = timed(
+            f"N={n} [base]",
+            lambda a, f=probe_sa(0.4, 16, n, 128, (128, 128, 256), 0,
+                                 "base"): f(a)[None],
+            (cloud, new2),
+        )
+        prev = None
+        for k in (16, 32, 64):
+            f = probe_sa(0.4, k, n, 128, (128, 128, 256), 0, "slotsnp")
+            t = timed(f"N={n} K={k} [slotsnp]", lambda a, f=f: f(a)[None],
+                      (cloud, new2))
+            ext = t - base
+            per_slot = ext / k / B * 1e3
+            print(f"    extraction {ext:6.3f} ms = {per_slot:.3f} us/slot/program"
+                  f" (MXU-step floor {n / 128 * 20.6 / 940:.3f})")
+            if prev is not None:
+                d = (t - prev[1]) / (k - prev[0]) / B * 1e3
+                print(f"    marginal K {prev[0]}->{k}: {d:.3f} us/slot/program")
+            prev = (k, t)
 
 
 # --------------------------------------------------------------------------
@@ -470,6 +645,8 @@ def main():
         probe_fps()
     if which in ("sa1", "sa2", "all"):
         probe_sa_layers(which if which != "all" else "all")
+    if which == "sa2k":
+        probe_sa2_scaling()
 
 
 if __name__ == "__main__":

@@ -304,6 +304,37 @@ class TestFullyFusedBallMLP:
         assert gidx is None
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    @pytest.mark.parametrize(
+        "nsample,dtype",
+        [(16, jnp.float32), (16, jnp.bfloat16), (80, jnp.float32)],
+    )
+    def test_stacked_extraction_bit_matches_per_slot(
+        self, rng, monkeypatch, nsample, dtype
+    ):
+        """SCANOBJECTNN_SA_STACKED=1 swaps the per-slot [T, N] one-hot
+        matmuls for one [kc*T, N] stacked matmul per chunk.  Every row's
+        contraction is unchanged, so pooled output AND idx must be
+        BIT-identical to the per-slot path (K > 64 exercises the traced
+        chunk base; bf16 the packed-split reconstruction)."""
+        from scanobjectnn_tpu.ops.pallas.safused_kernel import sa_ball_mlp_pool
+
+        xyz = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.5)
+        q = xyz[:, :64, :]
+        src = jnp.asarray(rng.randn(2, 256, 8).astype(np.float32))
+        ws, bs = self._weights(rng, [(3 + 8, 8), (8, 16)])
+
+        monkeypatch.setenv("SCANOBJECTNN_SA_STACKED", "0")
+        want, widx = sa_ball_mlp_pool(0.5, nsample, xyz, q, src, ws, bs,
+                                      dtype=dtype, interpret=True)
+        monkeypatch.setenv("SCANOBJECTNN_SA_STACKED", "1")
+        got, gidx = sa_ball_mlp_pool(0.5, nsample, xyz, q, src, ws, bs,
+                                     dtype=dtype, interpret=True)
+        if nsample <= 64:
+            np.testing.assert_array_equal(np.asarray(gidx), np.asarray(widx))
+        else:
+            assert gidx is None and widx is None
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     @pytest.mark.parametrize("xyz_first", [True, False])
     def test_prelifted_wide_features(self, rng, xyz_first):
         """C > feats[0] triggers the per-point Dense-0 lift (gather moves
