@@ -302,6 +302,85 @@ def _probe_kernel(
         out_ref[0] = acc.astype(out_ref.dtype)
         return
 
+    if mode == "stkmerge":
+        # Stacked extraction whose one-hot is REUSED for the feature gather:
+        # for a valid slot, (slot == k+1) and (iota_n == ik) are the SAME
+        # one-hot (ik IS the index of the rank-(k+1) point), so the gather's
+        # separate [rows, N] iota-compare build is redundant.  Invalid slots
+        # extract zeros; their first-hit padding moves AFTER the row-linear
+        # W0f matmul as one [rows, feats0] select against a broadcast
+        # fallback row (bit-equal: a padded row's matmul output equals the
+        # fallback row's matmul output).  Coords padding unchanged.
+        kc = 1
+        for cand in range(1, nsample + 1):
+            if nsample % cand == 0 and cand * tile <= 2048:
+                kc = cand
+        rows = kc * tile
+        f0 = feats[0]
+        acc = jnp.full((tile, feats[-1]), -jnp.inf, jnp.float32)
+        cntf = cnt2.astype(jnp.float32)
+
+        def bcast(t):
+            return jnp.broadcast_to(t[None], (kc, tile, 1)).reshape(rows, 1)
+
+        srcp = srcp_ref[0]
+        # Fallback features: first hit (== the slot-1 one-hot row), point 0
+        # for empty balls — exactly what the padded-idx gather produces.
+        oh1 = jnp.where(slot == 1.0, 1.0, 0.0).astype(jnp.bfloat16)
+        g1 = _split_matmul(oh1, srcp, src_c)  # [T, src_c] f32 exact
+        src0 = srcp[0:1]
+        src0 = (src0[:, :src_c] + src0[:, src_c : 2 * src_c]
+                + src0[:, 2 * src_c : 3 * src_c])
+        gfb = jnp.where(has, g1, src0)
+        hfb = jnp.dot(gfb.astype(cdtype), w0f_ref[...],
+                      preferred_element_type=jnp.float32)  # [T, f0]
+        HFB = jnp.broadcast_to(hfb[None], (kc, tile, f0)).reshape(rows, f0)
+
+        for chunk in range(nsample // kc):
+            kf = (
+                chunk * kc + 1.0
+                + lax.broadcasted_iota(jnp.int32, (kc, 1, 1), 0)
+                .astype(jnp.float32)
+            )
+            ohs = jnp.where(slot[None, :, :] == kf, 1.0, 0.0).astype(
+                jnp.bfloat16
+            ).reshape(rows, n)
+            e = lax.dot_general(
+                ohs, split, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            v = jnp.broadcast_to(kf - 1.0, (kc, tile, 1)).reshape(
+                rows, 1
+            ) < bcast(cntf)
+            gx = jnp.where(v, e[:, 0:1] + e[:, 3:4] + e[:, 6:7], bcast(fx)) - bcast(qx)
+            gy = jnp.where(v, e[:, 1:2] + e[:, 4:5] + e[:, 7:8], bcast(fy)) - bcast(qy)
+            gz = jnp.where(v, e[:, 2:3] + e[:, 5:6] + e[:, 8:9], bcast(fz)) - bcast(qz)
+            g_raw = _split_matmul(ohs, srcp, src_c)  # zeros on invalid rows
+            hf = jnp.where(
+                v,
+                jnp.dot(g_raw.astype(cdtype), w0f_ref[...],
+                        preferred_element_type=jnp.float32),
+                HFB,
+            )
+            c3 = jnp.concatenate([gx, gy, gz], axis=1)
+            h = hf + jnp.dot(
+                c3.astype(cdtype), w0x_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            h = jnp.maximum(h + b0_ref[0], 0.0)
+            for i in range(len(feats) - 1):
+                w_ref, b_ref = wb[2 * i], wb[2 * i + 1]
+                h = jnp.dot(
+                    h.astype(cdtype), w_ref[...],
+                    preferred_element_type=jnp.float32,
+                )
+                h = jnp.maximum(h + b_ref[0], 0.0)
+            acc = jnp.maximum(
+                acc, jnp.max(h.reshape(kc, tile, feats[-1]), axis=0)
+            )
+        out_ref[0] = acc.astype(out_ref.dtype)
+        return
+
     pad = mode not in ("slotsnp",)
     do_mlp = mode in ("nogather", "full")
     do_gather = mode == "full" and has_src
@@ -484,6 +563,57 @@ def probe_sa_layers(which):
     return results
 
 
+def probe_sa_nscaling():
+    """N-scaling of the PRODUCTION fused SA layers (bucketing Stage A):
+    if the program cost is ~linear in the contraction width N (as the
+    total-MXU-work account predicts), restricting each query's contraction
+    to a ~3/8 spatial neighborhood (grid bucketing) would cut SA1 by
+    ~2.5x.  Timing-only (fewer hits per ball at small N is fine — the
+    extraction is K slots regardless of hit count)."""
+    from scanobjectnn_tpu.ops.pallas.safused_kernel import sa_ball_mlp_pool
+    from scanobjectnn_tpu.utils.chipbench import timed_ms
+
+    key = jax.random.PRNGKey(2)
+
+    def weights(shapes):
+        ws, bs, kk = [], [], key
+        for a, b in shapes:
+            kk = jax.random.fold_in(kk, a * 1000 + b)
+            ws.append(jax.random.normal(kk, (a, b), jnp.float32) * 0.1)
+            bs.append(jnp.zeros((b,), jnp.float32))
+        return ws, bs
+
+    w1, b1 = weights([(3, 64), (64, 64), (64, 128)])
+    w2, b2 = weights([(131, 128), (128, 128), (128, 256)])
+
+    print("--- production fused SA1 (M=512 K=32), N-curve ---")
+    for n in (768, 1024, 1536, 2048):
+        pts = jax.random.normal(key, (B, n, 3), jnp.float32)
+        q = pts[:, :512, :]
+
+        def sa1(a):
+            f, i = sa_ball_mlp_pool(0.2, 32, a[0], a[1], None, w1, b1,
+                                    dtype=jnp.bfloat16)
+            return (jnp.sum(f.astype(jnp.float32))
+                    + jnp.sum(i.astype(jnp.float32)) * 1e-9)[None]
+
+        timed_ms(sa1, (pts, q), name=f"SA1 N={n}")
+
+    print("--- production fused SA2 (M=128 K=64, C=128), N-curve ---")
+    for n in (192, 256, 384, 512):
+        pts = jax.random.normal(key, (B, n, 3), jnp.float32)
+        q = pts[:, :128, :]
+        feats = jax.random.normal(key, (B, n, 128), jnp.float32)
+
+        def sa2(a):
+            f, i = sa_ball_mlp_pool(0.4, 64, a[0], a[1], a[2], w2, b2,
+                                    dtype=jnp.bfloat16)
+            return (jnp.sum(f.astype(jnp.float32))
+                    + jnp.sum(i.astype(jnp.float32)) * 1e-9)[None]
+
+        timed_ms(sa2, (pts, q, feats), name=f"SA2 N={n}")
+
+
 def probe_sa2_scaling():
     """Discriminate WHERE SA2's extraction overhead lives (round-4 floor
     table: measured 16.6 us/program vs 5.3 us of MXU tile-steps).  The
@@ -647,6 +777,8 @@ def main():
         probe_sa_layers(which if which != "all" else "all")
     if which == "sa2k":
         probe_sa2_scaling()
+    if which == "nscale":
+        probe_sa_nscaling()
 
 
 if __name__ == "__main__":
