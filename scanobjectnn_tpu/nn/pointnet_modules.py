@@ -102,6 +102,10 @@ def _fused_ball_scale(
         xyz_first=xyz_first,
         dtype=dtype,
         interpret=_fused_sa_eval_mode() == "interpret",
+        # The models discard the SA idx at eval, which opts the no-src
+        # shape into the spatially-bucketed kernel (idx comes back None
+        # when it engages — see sabucket_kernel.py).
+        need_idx=False,
     )
 
 

@@ -363,6 +363,7 @@ def sa_ball_mlp_pool(
     xyz_first: bool = True,
     dtype=jnp.float32,
     interpret: bool = False,
+    need_idx: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused ball-select + gather + folded-BN MLP + max-pool.
 
@@ -385,7 +386,14 @@ def sa_ball_mlp_pool(
     gather(feats) @ W0f), so the in-kernel one-hot gather moves feats[0]
     channels instead of C — 5x narrower at MSG SA2 scale widths (C=323 vs
     C_mid=64; the un-lifted fused form measured SLOWER than the chain in
-    f32 there: 15.6 vs 14.7 ms full MSG eval)."""
+    f32 there: 15.6 vs 14.7 ms full MSG eval).
+
+    ``need_idx=False`` (the model eval paths, which discard idx) opts the
+    no-src use_xyz shape into the spatially-BUCKETED kernel
+    (sabucket_kernel.py): slot extraction contracts over a sorted window
+    of candidates instead of all N — bit-exact pooled output with a
+    runtime full-kernel fallback on window overflow, returning
+    (pooled, None)."""
     assert nsample <= 64 or nsample % 16 == 0, (
         "fused SA layer needs K <= 64 (unrolled) or K % 16 == 0 (chunked)"
     )
@@ -399,6 +407,26 @@ def sa_ball_mlp_pool(
     prelifted = bool(
         has_src and use_xyz and src_feats.shape[-1] > feats[0]
     )
+
+    from scanobjectnn_tpu.ops.pallas.sabucket_kernel import (
+        bucket_config,
+        bucket_eligible,
+        sa_ball_mlp_pool_bucketed,
+    )
+
+    bucket = bucket_config()
+    if bucket_eligible(
+        bucket, xyz.shape[1], new_xyz.shape[1], nsample, has_src, use_xyz,
+        need_idx,
+    ):
+        wab = tuple(
+            a.astype(cdtype) if a.ndim == 2 else a
+            for pair in zip(weights, biases) for a in pair
+        )
+        pooled = sa_ball_mlp_pool_bucketed(
+            radius, nsample, xyz, new_xyz, wab, feats, *bucket, interpret
+        )
+        return pooled, None
 
     wab = []
     w0 = weights[0]
