@@ -158,8 +158,13 @@ def _phase_ms(points, model, variables) -> dict:
         xyz, *new_list = args
         feats = None
         for (npoint, radius, nsample, w, b), new_xyz in zip(ball, new_list):
+            # need_idx=False mirrors SAModule's eval dispatch (the models
+            # discard idx), which also opts eligible shapes into the
+            # spatially-bucketed kernel — the same program the headline
+            # forward runs.
             feats, _ = sa_ball_mlp_pool(
-                radius, nsample, xyz, new_xyz, feats, w, b, dtype=cdtype
+                radius, nsample, xyz, new_xyz, feats, w, b, dtype=cdtype,
+                need_idx=False,
             )
             xyz = new_xyz
         return feats.astype(jnp.float32).sum()[None]

@@ -38,6 +38,16 @@ per-row index order differs from the reference scan order even when the
 set matches.  Callers that need idx (the SA-module public contract) keep
 the full kernel; the model eval paths discard idx and opt in via
 ``need_idx=False`` (nn/pointnet_modules._fused_ball_scale).
+
+History: round 4 built the windowed kernel (5.38 vs 7.67 ms at SA1 bench
+shapes) but its XLA prep chain (3 argsorts + row gathers) cost ~7.8 ms —
+a net loss, shipped default-off.  Round 5 replaced the prep with the
+rank-sort kernel (ranksort_kernel.py: N^2 VPU key-compare rank + one-hot
+MXU reorder, 0.81 ms at N=2048) and the output un-permute with a one-hot
+MXU gather (0.18 ms), making the bucketed path a measured win
+(SA1 5.81 vs 7.67 ms; headline fwd 11.97 -> 10.18 ms, both dispatch-free
+two-point timings) — now DEFAULT ON via the "auto" per-shape table at the
+shapes where the A/B won.
 """
 
 from __future__ import annotations
@@ -56,37 +66,42 @@ from scanobjectnn_tpu.ops.pallas.ballquery_kernel import _rank_inclusive
 __all__ = ["bucket_config", "bucket_eligible", "sa_ball_mlp_pool_bucketed"]
 
 
-def bucket_config() -> tuple[int, int, int] | None:
-    """(window W, query tile T, block granularity G) or None (disabled).
+# Per-shape (N, M) -> (window W, query tile T, block granularity G) for
+# sa_bucket="auto".  Window sizes come from the measured window-requirement
+# distribution of FPS query tiles (max observed 1141 over gaussian clouds,
+# 1111 over thin slabs at N=2048); a cloud needing more falls back to the
+# full kernel at runtime, exactly.  Populated only for shapes where the
+# round-5 on-chip A/B (scripts/probe_sabucket.py) measured the bucketed
+# program FASTER end-to-end — the round-4 XLA argsort prep that made it
+# a net loss was replaced by the rank-sort kernel (ranksort_kernel.py).
+_AUTO_BUCKET = {
+    # round-5 on-chip sweep (probe_sabucket): full 7.67 ms; W=1152/T=128
+    # 6.29; W=896/T=64 5.81 (winner); headline fwd 11.97 -> 10.17 ms.
+    (2048, 512): (896, 64, 128),
+}
 
-    ``SCANOBJECTNN_SA_BUCKET``: unset/"0" disables, "W,T,G" enables.  The
-    candidate config (1152, 128, 128) was sized from the window-requirement
-    distribution of FPS query tiles on the headline N=2048 shapes
-    (max observed 1141 over gaussian clouds, 1111 over thin-slab clouds);
-    larger windows fall back to the full kernel at runtime, exactly.
 
-    DEFAULT OFF: the first on-chip A/B (round 4) measured the bucketed
-    program SLOWER end-to-end than the full kernel (13.1-13.9 vs 7.67 ms
-    at SA1 bench shapes) despite the halved extraction width — the
-    decomposition probes (scripts/probe_sabucket.py) attribute it to the
-    XLA prep chain (argsorts) and per-step windowed-DMA overhead; stays
-    opt-in until a variant wins."""
-    env = os.environ.get("SCANOBJECTNN_SA_BUCKET", "")
-    if env in ("", "0", "off"):
-        return None
-    w, t, g = (int(v) for v in env.split(","))
-    return w, t, g
+def bucket_config() -> tuple[int, int, int] | str | None:
+    """(W, T, G), the string "auto" (per-shape table), or None (disabled).
+
+    Configured via kernelconfig sa_bucket (TrainerConfig/CLI; the
+    SCANOBJECTNN_SA_BUCKET env var overrides: "0"/"off" disables, "auto"
+    or "W,T,G" enables)."""
+    from scanobjectnn_tpu import kernelconfig
+
+    return kernelconfig.sa_bucket()
 
 
 def bucket_eligible(
     cfg, n: int, m: int, nsample: int, has_src: bool, use_xyz: bool,
     need_idx: bool,
 ) -> bool:
-    """Static eligibility for the bucketed path (the no-src use_xyz SA
-    shape — SSG/BGA/MSG layer 1 — with enough points for a real window
+    """Static eligibility for the bucketed path (use_xyz SA shapes, with
+    or without point features, with enough points for a real window
     reduction).  ``n >= W + G`` keeps the default real-data N=1024 eval
     configs on the full kernel (no window win exists there)."""
-    if cfg is None or has_src or not use_xyz or need_idx:
+    cfg = resolve_bucket_config(cfg, n, m)
+    if cfg is None or not use_xyz or need_idx:
         return False
     w, t, g = cfg
     return (
@@ -97,6 +112,14 @@ def bucket_eligible(
         and n >= w + g
         and m % t == 0
     )
+
+
+def resolve_bucket_config(cfg, n: int, m: int):
+    """Resolve "auto" to the measured per-shape table ((n, m) keyed);
+    explicit tuples and None pass through."""
+    if cfg == "auto":
+        return _AUTO_BUCKET.get((n, m))
+    return cfg
 
 
 def _split_with_ids(xyz_f: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
@@ -128,20 +151,38 @@ def _split_with_ids(xyz_f: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sabucket_kernel(
-    c0_ref, *refs, radius, nsample, feats, nblocks,
+    c0_ref, *refs, radius, nsample, feats, nblocks, src_c, src_terms,
+    prelifted,
 ):
     """One (batch, query-tile) step: concat the window blocks, select,
     extract, MLP, pool.  Mirrors _safused_kernel's no-src tail (same
-    slot-extraction/padding/chunked-MLP formulation) at width W."""
+    slot-extraction/padding/chunked-MLP formulation) at width W.
+
+    With ``src_c`` (the has_src SA2 shape): the sorted feature window rides
+    IN the extraction payload — each stacked slot matmul [kc*T, W] @
+    [W, 16 + terms*src_c] returns centered coords AND gathered features in
+    one pass, so the window bound gates the feature gather's one-hot width
+    too (the full kernel's feature one-hots contract over all N)."""
     del c0_ref  # consumed by the BlockSpec index maps
-    xb = refs[:nblocks]
-    nq_ref = refs[nblocks]
-    sb = refs[nblocks + 1 : 2 * nblocks + 1]
-    tri_ref = refs[2 * nblocks + 1]
-    p0_ref = refs[2 * nblocks + 2]
-    w0_ref = refs[2 * nblocks + 3]
-    b0_ref = refs[2 * nblocks + 4]
-    wb = refs[2 * nblocks + 5 : 2 * nblocks + 5 + 2 * (len(feats) - 1)]
+    has_src = src_c > 0
+    pos = 0
+    xb = refs[pos : pos + nblocks]; pos += nblocks
+    nq_ref = refs[pos]; pos += 1
+    sb = refs[pos : pos + nblocks]; pos += nblocks
+    fb = ()
+    if has_src:
+        fb = refs[pos : pos + nblocks]; pos += nblocks
+    tri_ref = refs[pos]; pos += 1
+    p0_ref = refs[pos]; pos += 1
+    p0f_ref = None
+    if has_src:
+        p0f_ref = refs[pos]; pos += 1
+    w0_ref = refs[pos]; pos += 1  # w0x when has_src (use_xyz layout)
+    w0f_ref = None
+    if has_src and not prelifted:
+        w0f_ref = refs[pos]; pos += 1
+    b0_ref = refs[pos]; pos += 1
+    wb = refs[pos : pos + 2 * (len(feats) - 1)]
     out_ref = refs[-2]
     rank_ref = refs[-1]  # [T, W] f32 scratch
 
@@ -180,6 +221,95 @@ def _sabucket_kernel(
         )  # exact integer counts (0/1 products, f32 accumulation)
 
     slot = jnp.where(hit, rank_ref[...], jnp.float32(0.0))
+    cdtype = w0_ref.dtype
+    cnt2 = cnt_total[:, None]
+    has = (cnt_total > 0)[:, None]
+    p0 = p0_ref[0]  # [1, 3]
+    kc = 1
+    for cand in range(1, nsample + 1):
+        if nsample % cand == 0 and cand * tile <= 2048:
+            kc = cand
+
+    if has_src:
+        # ---- combined coord+feature extraction (stacked slots) ----
+        srcw = jnp.concatenate([r[0] for r in fb], axis=0)  # [W, terms*C]
+        payload = jnp.concatenate([split, srcw], axis=1)  # [W, 16+CP]
+
+        def sum_terms(e):  # packed feature cols -> [rows, src_c] f32
+            g = e[:, 16 : 16 + src_c]
+            for u in range(1, src_terms):
+                g = g + e[:, 16 + u * src_c : 16 + (u + 1) * src_c]
+            return g
+
+        def slot_ext1(kf):  # single-slot [T, 16+CP] (padding terms)
+            selb = jnp.where(slot == kf, 1.0, 0.0).astype(jnp.bfloat16)
+            return lax.dot_general(
+                selb, payload, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # Padding: repeat the first hit (coords AND features); zero-hit
+        # rows take ORIGINAL point 0 and ITS features (the reference
+        # pre-fills idx=0, so group_point gathers point 0's features —
+        # tf_grouping_g.cu:26-29).
+        e0 = slot_ext1(jnp.float32(1.0))
+        fx = jnp.where(has, e0[:, 0:1] + e0[:, 3:4] + e0[:, 6:7], p0[0, 0])
+        fy = jnp.where(has, e0[:, 1:2] + e0[:, 4:5] + e0[:, 7:8], p0[0, 1])
+        fz = jnp.where(has, e0[:, 2:3] + e0[:, 5:6] + e0[:, 8:9], p0[0, 2])
+        ffeat = jnp.where(has, sum_terms(e0), p0f_ref[0])  # [T, src_c]
+
+        def bcast(t, c):  # [T, c] -> [kc*T, c], leading-dim merge
+            return jnp.broadcast_to(t[None], (kc, tile, c)).reshape(
+                kc * tile, c
+            )
+
+        acc = jnp.full((tile, feats[-1]), -jnp.inf, jnp.float32)
+        for chunk in range(nsample // kc):
+            kf = (
+                float(chunk * kc) + 1.0
+                + lax.broadcasted_iota(jnp.int32, (kc, 1, 1), 0).astype(
+                    jnp.float32
+                )
+            )
+            ohs = jnp.where(slot[None, :, :] == kf, 1.0, 0.0).astype(
+                jnp.bfloat16
+            )
+            e = lax.dot_general(
+                ohs.reshape(kc * tile, slot.shape[1]), payload,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [kc*T, 16+CP]
+            v = jnp.broadcast_to(kf - 1.0, (kc, tile, 1)).reshape(
+                kc * tile, 1
+            ) < bcast(cnt2.astype(jnp.float32), 1)
+            gx = jnp.where(v, e[:, 0:1] + e[:, 3:4] + e[:, 6:7], bcast(fx, 1)) - bcast(qx, 1)
+            gy = jnp.where(v, e[:, 1:2] + e[:, 4:5] + e[:, 7:8], bcast(fy, 1)) - bcast(qy, 1)
+            gz = jnp.where(v, e[:, 2:3] + e[:, 5:6] + e[:, 8:9], bcast(fz, 1)) - bcast(qz, 1)
+            c3 = jnp.concatenate([gx, gy, gz], axis=1)
+            g = jnp.where(v, sum_terms(e), bcast(ffeat, src_c))
+            if prelifted:
+                h = g  # srcw already carries feats @ W0f
+            else:
+                h = jnp.dot(
+                    g.astype(cdtype), w0f_ref[...],
+                    preferred_element_type=jnp.float32,
+                )
+            h = h + jnp.dot(
+                c3.astype(cdtype), w0_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            h = jnp.maximum(h + b0_ref[0], 0.0)
+            for i in range(len(feats) - 1):
+                h = jnp.dot(
+                    h.astype(cdtype), wb[2 * i][...],
+                    preferred_element_type=jnp.float32,
+                )
+                h = jnp.maximum(h + wb[2 * i + 1][0], 0.0)
+            acc = jnp.maximum(
+                acc, jnp.max(h.reshape(kc, tile, feats[-1]), axis=0)
+            )
+        out_ref[0] = acc.astype(out_ref.dtype)
+        return
 
     def slot_ext(kf):
         selb = jnp.where(slot == kf, 1.0, 0.0).astype(jnp.bfloat16)
@@ -190,13 +320,10 @@ def _sabucket_kernel(
 
     # Padding: repeat the first (by active rank order) hit; zero-hit rows
     # take ORIGINAL point 0, centered (tf_grouping_g.cu pre-fill).
-    has = (cnt_total > 0)[:, None]
     e0 = slot_ext(jnp.float32(1.0))
-    p0 = p0_ref[0]  # [1, 3]
     fx = jnp.where(has, e0[:, 0:1] + e0[:, 3:4] + e0[:, 6:7], p0[0, 0])
     fy = jnp.where(has, e0[:, 1:2] + e0[:, 4:5] + e0[:, 7:8], p0[0, 1])
     fz = jnp.where(has, e0[:, 2:3] + e0[:, 5:6] + e0[:, 8:9], p0[0, 2])
-    cnt2 = cnt_total[:, None]
 
     def slot_vals(k):
         e = slot_ext(jnp.float32(k + 1))
@@ -206,11 +333,9 @@ def _sabucket_kernel(
         gz = jnp.where(v, e[:, 2:3] + e[:, 5:6] + e[:, 8:9], fz) - qz
         return jnp.concatenate([gx, gy, gz], axis=1)
 
-    cdtype = w0_ref.dtype
-
     def mlp_chunk(coords_k):
-        kc = len(coords_k)
-        c3 = jnp.stack(coords_k, axis=0).reshape(kc * tile, 3)
+        kcn = len(coords_k)
+        c3 = jnp.stack(coords_k, axis=0).reshape(kcn * tile, 3)
         h = jnp.dot(
             c3.astype(cdtype), w0_ref[...], preferred_element_type=jnp.float32
         )
@@ -221,12 +346,8 @@ def _sabucket_kernel(
                 preferred_element_type=jnp.float32,
             )
             h = jnp.maximum(h + wb[2 * i + 1][0], 0.0)
-        return jnp.max(h.reshape(kc, tile, feats[-1]), axis=0)
+        return jnp.max(h.reshape(kcn, tile, feats[-1]), axis=0)
 
-    kc = 1
-    for cand in range(1, nsample + 1):
-        if nsample % cand == 0 and cand * tile <= 2048:
-            kc = cand
     vals = [slot_vals(k) for k in range(nsample)]
     acc = jnp.full((tile, feats[-1]), -jnp.inf, jnp.float32)
     for chunk in range(nsample // kc):
@@ -249,6 +370,7 @@ def _imap_sub(u):
 def _bucketed_pallas(
     radius, nsample, feats, window, qtile, gblk, interpret,
     c0, xyz_t, nq_s, split_s, tri, p0, weights_and_biases, cdtype,
+    srcp_s=None, p0f=None, prelifted=False, src_c=0,
 ):
     """The windowed pallas_call itself, on pre-sorted operands (factored
     out so probes can time it separately from the sort/gather prep)."""
@@ -270,6 +392,15 @@ def _bucketed_pallas(
         in_specs.append(pl.BlockSpec(
             (1, gblk, 16), _imap_sub(u), memory_space=pltpu.VMEM
         ))
+    src_terms = 0
+    if srcp_s is not None:
+        cp = srcp_s.shape[-1]
+        src_terms = cp // src_c
+        for u in range(nblocks):
+            inputs.append(srcp_s)
+            in_specs.append(pl.BlockSpec(
+                (1, gblk, cp), _imap_sub(u), memory_space=pltpu.VMEM
+            ))
     inputs.append(tri)
     in_specs.append(pl.BlockSpec(
         (128, 128), lambda i, j, c0: (0, 0), memory_space=pltpu.VMEM
@@ -278,6 +409,12 @@ def _bucketed_pallas(
     in_specs.append(pl.BlockSpec(
         (1, 1, 3), lambda i, j, c0: (i, 0, 0), memory_space=pltpu.VMEM
     ))
+    if srcp_s is not None:
+        inputs.append(p0f)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, src_c), lambda i, j, c0: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
     for wab in weights_and_biases:
         arr = (
             wab.astype(cdtype) if wab.ndim == 2 else wab.astype(jnp.float32)
@@ -290,7 +427,8 @@ def _bucketed_pallas(
         ))
     kernel = functools.partial(
         _sabucket_kernel, radius=radius, nsample=nsample, feats=feats,
-        nblocks=nblocks,
+        nblocks=nblocks, src_c=src_c if srcp_s is not None else 0,
+        src_terms=src_terms, prelifted=prelifted,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -313,20 +451,29 @@ def _bucketed_pallas(
     )(c0, *inputs)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7, 8, 9, 10, 11, 12))
 def sa_ball_mlp_pool_bucketed(
     radius,
     nsample,
     xyz,
     new_xyz,
+    src,
     weights_and_biases,
     feats: tuple,
     window: int,
     qtile: int,
     gblk: int,
+    prelifted: bool,
+    src_c: int,
     interpret: bool,
 ):
-    """Bucketed fused SA layer for the no-src use_xyz shape.
+    """Bucketed fused SA layer for the use_xyz shapes (with or without
+    point features).
+
+    ``src`` is the feature array in _sa_ball_mlp_call's convention (bf16
+    1-term, or any float packed to 3 bf16 terms here); ``src_c`` its
+    logical channel count; ``weights_and_biases`` the folded list in
+    safused's layout ([w0x, w0f?, b0, w1, b1, ...] when src is given).
 
     Returns the pooled [B, M, feats[-1]] array only (no idx — see module
     docstring); bit-exact vs safused_kernel.sa_ball_mlp_pool's pooled
@@ -335,6 +482,13 @@ def sa_ball_mlp_pool_bucketed(
     m = new_xyz.shape[1]
     xyz_f = xyz.astype(jnp.float32)
     nq_f = new_xyz.astype(jnp.float32)
+    srcp = None
+    if src is not None:
+        from scanobjectnn_tpu.ops.pallas.onehot import bf16_pack_traced
+
+        srcp = src if src.dtype == jnp.bfloat16 else bf16_pack_traced(
+            src.astype(jnp.float32)
+        )
 
     # Sort key: the coordinate along each cloud's WIDEST axis (thin
     # objects then still spread their mass across the sorted range).
@@ -343,16 +497,28 @@ def sa_ball_mlp_pool_bucketed(
     key = jnp.sum(xyz_f * axsel[:, None, :], axis=-1)  # [B, N]
     qkey = jnp.sum(nq_f * axsel[:, None, :], axis=-1)  # [B, M]
 
-    from scanobjectnn_tpu.ops.grouping import batched_index_gather
+    # Physical reorder via the rank-sort kernel (ranksort_kernel.py): the
+    # round-4 XLA prep (3 argsorts + row gathers + split build) measured
+    # ~7.8 ms at SA1 bench shapes — more than the windowed kernel saves.
+    # rank_sort_points emits the sorted coordinate planes, the packed
+    # split (original ids in cols 9/10 — byte-identical to
+    # _split_with_ids(sorted_xyz, order)), and for the queries the rank
+    # itself, which IS the inverse permutation the output un-permute
+    # needs (rank == argsort(argsort(key)); all parity-tested).
+    from scanobjectnn_tpu.ops.pallas.ranksort_kernel import rank_sort_points
 
-    order = jnp.argsort(key, axis=1)
-    key_s = jnp.take_along_axis(key, order, axis=1)
-    xyz_s = batched_index_gather(xyz_f, order)
-    split_s = _split_with_ids(xyz_s, order)
-    qorder = jnp.argsort(qkey, axis=1)
-    qkey_s = jnp.take_along_axis(qkey, qorder, axis=1)
-    nq_s = batched_index_gather(nq_f, qorder)
-    inv_q = jnp.argsort(qorder, axis=1)
+    planes_s, split_s, srcp_s, _ = rank_sort_points(
+        key, jnp.transpose(xyz_f, (0, 2, 1)),
+        None if srcp is None else jnp.transpose(srcp, (0, 2, 1)),
+        True, False, interpret,
+    )
+    xyz_t = planes_s[:, :3, :]  # [B, 3, N] sorted, lane-major
+    key_s = jnp.sum(xyz_t * axsel[:, :, None], axis=1)  # [B, N]
+    q_planes_s, _, _, inv_q = rank_sort_points(
+        qkey, jnp.transpose(nq_f, (0, 2, 1)), None, False, True, interpret
+    )
+    nq_s = jnp.transpose(q_planes_s[:, :3, :], (0, 2, 1))  # [B, M, 3]
+    qkey_s = jnp.sum(q_planes_s[:, :3, :] * axsel[:, :, None], axis=1)
 
     # Per-tile window start (G-block units) + the overflow gate.  pad_r
     # absorbs f32 rounding between the kernel's elementwise d2 and the
@@ -373,29 +539,46 @@ def sa_ball_mlp_pool_bucketed(
     )
     ov = jnp.any(end > c0 * gblk + window)
 
-    xyz_t = jnp.transpose(xyz_s, (0, 2, 1))  # [B, 3, N] sorted
     tri = (
         jnp.arange(128, dtype=jnp.int32)[:, None]
         <= jnp.arange(128, dtype=jnp.int32)[None, :]
     ).astype(jnp.bfloat16)
     p0 = xyz_f[:, 0:1, :]  # original point 0 (zero-hit padding)
+    p0f = None
+    if srcp is not None:
+        # Point 0's features, term-summed to f32 (the zero-hit fallback —
+        # the reference pre-fills idx=0, tf_grouping_g.cu:26-29).
+        p0row = srcp[:, 0:1, :].astype(jnp.float32)  # [B, 1, terms*C]
+        p0f = p0row[..., :src_c]
+        for u in range(1, p0row.shape[-1] // src_c):
+            p0f = p0f + p0row[..., u * src_c : (u + 1) * src_c]
     cdtype = weights_and_biases[0].dtype
 
     def run_bucketed(_):
         pooled_s = _bucketed_pallas(
             radius, nsample, feats, window, qtile, gblk, interpret,
             c0, xyz_t, nq_s, split_s, tri, p0, weights_and_biases, cdtype,
+            srcp_s=srcp_s, p0f=p0f, prelifted=prelifted, src_c=src_c,
         )
-        return batched_index_gather(pooled_s, inv_q)
+        # Un-permute to FPS query order: a one-hot MXU gather (bit-exact —
+        # 1-term for bf16 pooled values, 3-term split for f32), not an XLA
+        # row gather (docs/KERNELS.md "Row-copy gather kernel").
+        from scanobjectnn_tpu.ops.pallas.onehot import flat_gather
+
+        exact = cdtype != jnp.bfloat16
+        return flat_gather(pooled_s, inv_q, exact).astype(cdtype)
 
     def run_full(_):
         from scanobjectnn_tpu.ops.pallas.safused_kernel import (
             _sa_ball_mlp_call,
         )
 
+        # Pass the UNPACKED src: _sa_ball_mlp_call packs it itself (and
+        # derives src_c from src.shape in the prelifted case, which would
+        # misread a pre-packed multi-term array).
         return _sa_ball_mlp_call(
-            radius, nsample, xyz, new_xyz, None, weights_and_biases, feats,
-            True, False, False, interpret,
+            radius, nsample, xyz, new_xyz, src, weights_and_biases, feats,
+            True, prelifted, False, interpret,
         )[0]
 
     return lax.cond(ov, run_full, run_bucketed, None)

@@ -408,26 +408,6 @@ def sa_ball_mlp_pool(
         has_src and use_xyz and src_feats.shape[-1] > feats[0]
     )
 
-    from scanobjectnn_tpu.ops.pallas.sabucket_kernel import (
-        bucket_config,
-        bucket_eligible,
-        sa_ball_mlp_pool_bucketed,
-    )
-
-    bucket = bucket_config()
-    if bucket_eligible(
-        bucket, xyz.shape[1], new_xyz.shape[1], nsample, has_src, use_xyz,
-        need_idx,
-    ):
-        wab = tuple(
-            a.astype(cdtype) if a.ndim == 2 else a
-            for pair in zip(weights, biases) for a in pair
-        )
-        pooled = sa_ball_mlp_pool_bucketed(
-            radius, nsample, xyz, new_xyz, wab, feats, *bucket, interpret
-        )
-        return pooled, None
-
     wab = []
     w0 = weights[0]
     src = None
@@ -453,6 +433,33 @@ def sa_ball_mlp_pool(
         wab.append(w_)
         wab.append(b_)
     wab = tuple(a.astype(cdtype) if a.ndim == 2 else a for a in wab)
+
+    from scanobjectnn_tpu.ops.pallas.sabucket_kernel import (
+        bucket_config,
+        bucket_eligible,
+        resolve_bucket_config,
+        sa_ball_mlp_pool_bucketed,
+    )
+
+    bucket = resolve_bucket_config(
+        bucket_config(), xyz.shape[1], new_xyz.shape[1]
+    )
+    if bucket_eligible(
+        bucket, xyz.shape[1], new_xyz.shape[1], nsample, has_src, use_xyz,
+        need_idx,
+    ):
+        if has_src:
+            if prelifted:
+                src_c = src.shape[-1]
+            else:
+                src_c = wab[1].shape[0]  # w0f rows (use_xyz layout)
+        else:
+            src_c = 0
+        pooled = sa_ball_mlp_pool_bucketed(
+            radius, nsample, xyz, new_xyz, src, wab, feats, *bucket,
+            prelifted, src_c, interpret,
+        )
+        return pooled, None
 
     return _sa_ball_mlp_call(
         radius, nsample, xyz, new_xyz, src, wab, feats, use_xyz, prelifted,

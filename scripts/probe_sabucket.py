@@ -91,7 +91,7 @@ def main():
     print("--- bucketed SA1 configs (bench clouds) ---", flush=True)
     os.environ["SCANOBJECTNN_SA_BUCKET"] = "0"
     timed_ms(f, (xyz, q), name="full fused SA1 (baseline)")
-    for cfg in ("1152,128,128", "1280,128,128", "896,64,128", "1024,64,128"):
+    for cfg in ("896,64,128", "768,64,128", "640,32,128", "768,32,128"):
         wlen, qtile, gblk = (int(v) for v in cfg.split(","))
         ov, need = gate_stats(xyz, q, RADIUS, wlen, qtile, gblk)
         os.environ["SCANOBJECTNN_SA_BUCKET"] = cfg
@@ -99,6 +99,69 @@ def main():
             f, (xyz, q),
             name=f"bucketed W={wlen} T={qtile} (ov={ov} need={need})",
         )
+
+    # --- prep-chain decomposition (round 5: rank-sort kernel prep) ---
+    print("--- prep decomposition ---", flush=True)
+    from scanobjectnn_tpu.ops.pallas.onehot import flat_gather
+    from scanobjectnn_tpu.ops.pallas.ranksort_kernel import rank_sort_points
+
+    def prep_points(args):
+        (pts,) = args
+        key = pts[:, :, 0]
+        planes_s, split_s, _, _ = rank_sort_points(
+            key, jnp.transpose(pts, (0, 2, 1)), None, True, False, False
+        )
+        return planes_s[:, :3, :].astype(jnp.float32), split_s.astype(
+            jnp.float32
+        )
+
+    def prep_queries(args):
+        (qq,) = args
+        qkey = qq[:, :, 0]
+        q_planes_s, _, _, inv_q = rank_sort_points(
+            qkey, jnp.transpose(qq, (0, 2, 1)), None, False, True, False
+        )
+        return q_planes_s[:, :3, :].astype(jnp.float32), inv_q
+
+    timed_ms(prep_points, (xyz,), name="rank_sort N=2048 (planes+split)")
+    timed_ms(prep_queries, (q,), name="rank_sort M=512 (planes+rank)")
+    pooled_fake = jnp.asarray(
+        rng.normal(size=(B, M, FEATS[-1])).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    inv_fake = jnp.asarray(
+        np.stack([rng.permutation(M) for _ in range(B)]).astype(np.int32)
+    )
+
+    def ungather(args):
+        pooled, inv = args
+        return flat_gather(pooled, inv, False).astype(jnp.float32)
+
+    timed_ms(
+        ungather, (pooled_fake, inv_fake),
+        name="un-permute flat_gather [B,512,128] bf16",
+    )
+
+    def xla_argsort_prep(args):
+        """The ROUND-4 prep chain, for the before/after record."""
+        (pts,) = args
+        from scanobjectnn_tpu.ops.grouping import batched_index_gather
+        from scanobjectnn_tpu.ops.pallas.sabucket_kernel import (
+            _split_with_ids,
+        )
+
+        key = pts[:, :, 0]
+        order = jnp.argsort(key, axis=1)
+        key_s = jnp.take_along_axis(key, order, axis=1)
+        xyz_s = batched_index_gather(pts, order)
+        split_s = _split_with_ids(xyz_s, order)
+        return key_s, jnp.transpose(xyz_s, (0, 2, 1)), split_s.astype(
+            jnp.float32
+        )
+
+    timed_ms(
+        xla_argsort_prep, (xyz,),
+        name="round-4 XLA prep N=2048 (argsort+gathers)",
+    )
 
     # --- on-chip parity, all three regimes (compiled, small B) ---
     print("--- on-chip parity ---", flush=True)

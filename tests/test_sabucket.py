@@ -130,6 +130,86 @@ def test_bucketed_pooled_bit_parity(
     )
 
 
+@pytest.mark.parametrize("regime", ["sparse", "dense"])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_bucketed_with_features_bit_parity(regime, dtype, monkeypatch):
+    """The has_src (SA2) bucketed path: the sorted feature window rides in
+    the extraction payload; pooled output must stay bit-exact vs the full
+    kernel in both rank regimes, f32 (3-term packed features) and bf16."""
+    rng = np.random.default_rng(5)
+    n2, m2, k2, c2 = 512, 128, 16, 8
+    feats2 = (16, 16, 32)
+    # the clustered dense fixture needs a tighter query tile to fit W=384
+    cfg = "384,32,128" if regime == "sparse" else "384,16,128"
+    if regime == "sparse":
+        pts = rng.normal(size=(B, n2, 3)).astype(np.float32)
+    else:
+        centers = rng.normal(size=(B, 8, 3)) * np.array([4.0, 0.3, 0.3])
+        assign = rng.integers(0, 8, size=(B, n2))
+        pts = (
+            centers[np.arange(B)[:, None], assign]
+            + rng.normal(size=(B, n2, 3)) * 0.05
+        ).astype(np.float32)
+    pts = jnp.asarray(pts)
+    src = jnp.asarray(rng.normal(size=(B, n2, c2)).astype(np.float32))
+    q = pts[:, :m2, :]
+    wlen, qtile, gblk = (int(v) for v in cfg.split(","))
+    ov, dmax = _gate(pts, q, RADIUS, wlen, qtile, gblk)
+    assert not ov, "fixture drifted into overflow"
+    assert (dmax > k2) == (regime == "dense"), f"cnt_max={dmax}"
+
+    ws = [jnp.asarray(rng.normal(size=(3 + c2, feats2[0])) * 0.1, jnp.float32)]
+    bs = [jnp.asarray(rng.normal(size=(feats2[0],)) * 0.1, jnp.float32)]
+    for a, c in zip(feats2[:-1], feats2[1:]):
+        ws.append(jnp.asarray(rng.normal(size=(a, c)) * 0.1, jnp.float32))
+        bs.append(jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32))
+
+    def run(cfg_str):
+        monkeypatch.setenv("SCANOBJECTNN_SA_BUCKET", cfg_str)
+        return sa_ball_mlp_pool(
+            RADIUS, k2, pts, q, src, ws, bs, use_xyz=True, xyz_first=True,
+            dtype=dtype, interpret=True, need_idx=False,
+        )
+
+    ref, ref_idx = run("0")
+    assert ref_idx is not None
+    out, out_idx = run(cfg)
+    assert out_idx is None
+    assert out.dtype == ref.dtype
+    assert bool(jnp.all(out == ref)), (
+        f"{regime} {dtype}: max|diff|="
+        f"{float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))}"
+    )
+
+
+def test_bucketed_with_features_prelifted_parity(monkeypatch):
+    """Prelifted has_src (C > feats[0], the MSG-scale shape): src arrives
+    already multiplied by W0f; the bucketed kernel must skip the in-kernel
+    W0f matmul and still match the full kernel bit-exactly."""
+    rng = np.random.default_rng(9)
+    n2, m2, k2, c2 = 512, 128, 16, 24  # c2 > feats2[0] => prelifted
+    feats2 = (16, 32)
+    pts = jnp.asarray(rng.normal(size=(B, n2, 3)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(B, n2, c2)).astype(np.float32))
+    q = pts[:, :m2, :]
+    ws = [jnp.asarray(rng.normal(size=(3 + c2, feats2[0])) * 0.1, jnp.float32)]
+    bs = [jnp.asarray(rng.normal(size=(feats2[0],)) * 0.1, jnp.float32)]
+    ws.append(jnp.asarray(rng.normal(size=feats2) * 0.1, jnp.float32))
+    bs.append(jnp.asarray(rng.normal(size=(feats2[-1],)) * 0.1, jnp.float32))
+
+    def run(cfg_str):
+        monkeypatch.setenv("SCANOBJECTNN_SA_BUCKET", cfg_str)
+        return sa_ball_mlp_pool(
+            RADIUS, k2, pts, q, src, ws, bs, use_xyz=True, xyz_first=True,
+            dtype=jnp.bfloat16, interpret=True, need_idx=False,
+        )
+
+    ref, _ = run("0")
+    out, out_idx = run("384,32,128")
+    assert out_idx is None
+    assert bool(jnp.all(out == ref))
+
+
 def test_boundary_points_stay_exact(weights_biases, monkeypatch):
     """Points at exactly key-distance r from a query (non-hits) and just
     inside (hits) must classify identically in both kernels — exercises
@@ -156,7 +236,8 @@ def test_eligibility_gates():
     assert bucket_eligible(cfg, **ok)
     assert not bucket_eligible(None, **ok)
     assert not bucket_eligible(cfg, **{**ok, "need_idx": True})
-    assert not bucket_eligible(cfg, **{**ok, "has_src": True})
+    # round 5: has_src shapes are eligible (the SA2 bucketed path)
+    assert bucket_eligible(cfg, **{**ok, "has_src": True})
     assert not bucket_eligible(cfg, **{**ok, "use_xyz": False})
     assert not bucket_eligible(cfg, **{**ok, "n": 1024})  # no window win
     assert not bucket_eligible(cfg, **{**ok, "n": 2050})  # n % G
@@ -165,12 +246,23 @@ def test_eligibility_gates():
 
 
 def test_bucket_config_env(monkeypatch):
+    from scanobjectnn_tpu.ops.pallas.sabucket_kernel import (
+        resolve_bucket_config,
+    )
+
     monkeypatch.setenv("SCANOBJECTNN_SA_BUCKET", "0")
     assert bucket_config() is None
     monkeypatch.setenv("SCANOBJECTNN_SA_BUCKET", "896,64,128")
     assert bucket_config() == (896, 64, 128)
     monkeypatch.delenv("SCANOBJECTNN_SA_BUCKET")
-    assert bucket_config() is None  # opt-in until an on-chip A/B wins
+    # Round-5 default: "auto" — ON at the shapes where the on-chip A/B
+    # measured the bucketed program faster (the rank-sort prep landed);
+    # unknown shapes resolve to None (full kernel).
+    assert bucket_config() == "auto"
+    assert resolve_bucket_config("auto", 2048, 512) == (896, 64, 128)
+    assert resolve_bucket_config("auto", 1024, 256) is None
+    assert resolve_bucket_config((640, 32, 128), 2048, 512) == (640, 32, 128)
+    assert resolve_bucket_config(None, 2048, 512) is None
 
 
 def test_module_eval_dispatch(monkeypatch):
