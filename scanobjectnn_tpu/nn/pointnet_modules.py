@@ -43,25 +43,26 @@ def _fused_sa_train_enabled() -> bool:
     Default OFF: measured NET SLOWER than XLA AD at the model level on the
     v5e (scripts/profile_satrain.py — SSG bf16 8.25 vs 5.45 ms, MSG bf16
     30.25 vs 22.46; see BENCHMARKS.md "fused SA training backward").  The
-    op stays parity-tested and opt-in (SCANOBJECTNN_FUSED_SA_TRAIN=1) as
-    the measured-negative record of round-3 VERDICT item 1's prescribed
-    approach; scripts/profile_satrain_layers.py holds the per-layer
-    decomposition."""
-    import os
+    op stays parity-tested and opt-in (kernelconfig fused_sa_train / the
+    SCANOBJECTNN_FUSED_SA_TRAIN=1 env override) as the measured-negative
+    record of round-3 VERDICT item 1's prescribed approach;
+    scripts/profile_satrain_layers.py holds the per-layer decomposition."""
+    from scanobjectnn_tpu import kernelconfig
 
-    return os.environ.get("SCANOBJECTNN_FUSED_SA_TRAIN", "0") == "1"
+    return kernelconfig.fused_sa_train()
 
 
 def _fused_sa_eval_mode() -> str | None:
     """Dispatch gate for the fused eval-time SA kernel: "tpu" (compiled),
     "interpret" (forced, for CPU parity tests), or None (unfused).
-    Override with SCANOBJECTNN_FUSED_SA_EVAL=interpret|0."""
-    import os
+    Configured via kernelconfig fused_sa_eval (TrainerConfig/CLI; the
+    SCANOBJECTNN_FUSED_SA_EVAL env var overrides)."""
+    from scanobjectnn_tpu import kernelconfig
 
-    env = os.environ.get("SCANOBJECTNN_FUSED_SA_EVAL")
-    if env == "interpret":
+    mode = kernelconfig.fused_sa_eval()
+    if mode == "interpret":
         return "interpret"
-    if env == "0":
+    if mode == "off":
         return None
     from scanobjectnn_tpu.ops.fps import _use_pallas
 

@@ -40,21 +40,24 @@ __all__ = [
     "prob_sample_pdf",
 ]
 
-# Backend dispatch: 'auto' uses the Pallas kernel on TPU and lax elsewhere;
-# override with SCANOBJECTNN_OPS_BACKEND={auto,lax,pallas}.
-_BACKEND = os.environ.get("SCANOBJECTNN_OPS_BACKEND", "auto")
+# Backend dispatch: 'auto' uses the Pallas kernel on TPU and lax elsewhere.
+# Configured via kernelconfig (TrainerConfig/CLI); the
+# SCANOBJECTNN_OPS_BACKEND env var remains an explicit override.
 
 
 def set_ops_backend(backend: str) -> None:
-    global _BACKEND
-    assert backend in ("auto", "lax", "pallas")
-    _BACKEND = backend
+    from scanobjectnn_tpu import kernelconfig
+
+    kernelconfig.set_kernel_config(ops_backend=backend)
 
 
 def _use_pallas() -> bool:
-    if _BACKEND == "lax":
+    from scanobjectnn_tpu import kernelconfig
+
+    backend = kernelconfig.ops_backend()
+    if backend == "lax":
         return False
-    if _BACKEND == "pallas":
+    if backend == "pallas":
         return True
     return jax.default_backend() == "tpu"
 

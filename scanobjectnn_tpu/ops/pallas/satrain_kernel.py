@@ -67,12 +67,13 @@ _EPS = 1e-3  # BatchNorm default in this stack (tf_util.py:508)
 
 
 def _pool_f32_mode() -> str:
-    """Mixed-precision max-pool modes (round-3 VERDICT item 8), selected by
-    SCANOBJECTNN_SA_POOL_F32 (read at trace time, like the fused-train gate):
+    """Mixed-precision max-pool modes (round-3 VERDICT item 8), configured
+    via kernelconfig pool_precision (TrainerConfig ``--pool_precision``;
+    the SCANOBJECTNN_SA_POOL_F32 env var overrides), read at trace time:
 
-      "0"    — off (default): plain compute-dtype chain.
-      "1"    — the final pre-pool layer's activations stay f32, so the
-               pool's tie structure / credit assignment is exact (bf16
+      "0"    — native (default): plain compute-dtype chain.
+      "1"    — "f32": the final pre-pool layer's activations stay f32, so
+               the pool's tie structure / credit assignment is exact (bf16
                rounding spuriously ties near-equal rows and dilutes the
                pooled gradient).  Measured: recovers synth-hard pointnet2
                bf16 0.253 → 0.558 (f32: 0.575) but keeps only ~55% of the
@@ -82,13 +83,13 @@ def _pool_f32_mode() -> str:
                fully bf16 (fast backward) and a stop-gradient f32 key copy
                of the final activations decides winners/ties.  Unfused
                module paths only (the fused train tail falls back to
-               unfused under this mode).
+               unfused under this mode).  This is what
+               ``pool_precision="auto"`` resolves to for bf16 training.
 
     All modes are no-ops in f32 training."""
-    import os
+    from scanobjectnn_tpu import kernelconfig
 
-    v = os.environ.get("SCANOBJECTNN_SA_POOL_F32", "0")
-    return v if v in ("0", "1", "keys") else "1"
+    return kernelconfig.pool_mode()
 
 
 def _pool_f32() -> bool:

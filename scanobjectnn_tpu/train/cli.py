@@ -61,6 +61,34 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--visu", action="store_true", help="dump error-case renders/PLYs (eval) and seg masks (eval_seg)")
     p.add_argument("--profile", action="store_true", help="capture a jax.profiler trace of the first train epoch into <log_dir>/profile")
+    # Kernel dispatch (scanobjectnn_tpu.kernelconfig; SCANOBJECTNN_* env
+    # vars override these for experiments — see README "Configuration").
+    p.add_argument(
+        "--ops_backend", default="auto", choices=["auto", "pallas", "lax"],
+        help="Pallas kernels on TPU vs the pure-lax reference path",
+    )
+    p.add_argument(
+        "--fused_sa_eval", default="on", choices=["on", "off", "interpret"],
+        help="fully-fused eval-time SA layer (ball select+gather+MLP+pool)",
+    )
+    p.add_argument(
+        "--fused_sa_train", action="store_true",
+        help="custom-VJP fused SA training tail (measured net slower on "
+        "v5e; kept as the documented floor probe — BENCHMARKS.md)",
+    )
+    p.add_argument(
+        "--sa_bucket", default="auto",
+        help="spatially-bucketed fused SA kernel: 'auto' (measured "
+        "per-shape table), 'off', or explicit 'W,T,G'",
+    )
+    p.add_argument(
+        "--pool_precision", default="auto",
+        choices=["auto", "native", "f32", "keys"],
+        help="max-pool precision for bf16 training: 'auto' = exact-key "
+        "pooling ('keys') under --dtype bfloat16 (plain bf16 pooling "
+        "collapses the max-pool families — SYNTH_HARD.md), 'native' "
+        "elsewhere",
+    )
 
 
 def _load(path: str, with_bg: bool, num_point: int, mode: str = "cls"):
@@ -111,6 +139,11 @@ def _make_trainer(args, kind: str):
         augment_rotate=not args.no_augment,
         augment_jitter=not args.no_augment,
         use_model_recipe=not args.no_recipe,
+        ops_backend=args.ops_backend,
+        fused_sa_eval=args.fused_sa_eval,
+        fused_sa_train=args.fused_sa_train,
+        sa_bucket=args.sa_bucket,
+        pool_precision=args.pool_precision,
     )
     return Trainer(cfg)
 

@@ -88,6 +88,18 @@ class TrainerConfig:
     # program (no per-batch host traffic).  Disable for datasets larger than
     # device memory or for bit-level host-RNG parity studies.
     device_resident: bool = True
+    # Kernel dispatch (scanobjectnn_tpu.kernelconfig): applied process-wide
+    # at Trainer construction, read by the kernels at trace time.  The
+    # SCANOBJECTNN_* env vars override these (probe/experiment escape
+    # hatch); see README "Configuration" for the full matrix.
+    ops_backend: str = "auto"
+    fused_sa_eval: str = "on"
+    fused_sa_train: bool = False
+    sa_bucket: str = "auto"
+    # "auto" resolves against dtype: exact-key pooling ("keys") for bf16
+    # training — plain bf16 pooling collapses the max-pool families
+    # (SYNTH_HARD.md) — and "native" for f32 (all modes are no-ops there).
+    pool_precision: str = "auto"
 
     @property
     def jnp_dtype(self):
@@ -101,6 +113,21 @@ class Trainer:
         self.config = config
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.logger = logger or Logger(config.log_dir)
+
+        # Apply the kernel-dispatch fields (read by kernels at trace time;
+        # env vars still override — kernelconfig precedence).
+        from scanobjectnn_tpu import kernelconfig
+
+        pool = config.pool_precision
+        if pool == "auto":
+            pool = "keys" if config.dtype == "bfloat16" else "native"
+        kernelconfig.set_kernel_config(
+            ops_backend=config.ops_backend,
+            fused_sa_eval=config.fused_sa_eval,
+            fused_sa_train=config.fused_sa_train,
+            sa_bucket=config.sa_bucket,
+            pool_precision=pool,
+        )
 
         kwargs = dict(config.model_kwargs)
         if config.model.endswith("partseg"):

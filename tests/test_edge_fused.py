@@ -337,9 +337,9 @@ class TestSpiderConvKernel:
         plain = SpiderConv(features_out=32, fused=False)
         vf = fused.init(jax.random.PRNGKey(0), feat, idx, delta)
 
-        monkeypatch.setattr(fps_mod, "_BACKEND", "pallas")
+        monkeypatch.setenv("SCANOBJECTNN_OPS_BACKEND", "pallas")
         yf = fused.apply(vf, feat, idx, delta)
-        monkeypatch.setattr(fps_mod, "_BACKEND", "lax")
+        monkeypatch.setenv("SCANOBJECTNN_OPS_BACKEND", "lax")
         yp = plain.apply(vf, feat, idx, delta)
         got, want = np.asarray(yf), np.asarray(yp)
         scale = float(np.max(np.abs(want))) + 1e-9
