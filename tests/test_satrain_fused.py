@@ -108,6 +108,33 @@ class TestOpParity:
         for a, b in zip(g_pallas[4], g_xla[4]):  # noise-only (see _is_dense_bias)
             np.testing.assert_allclose(a, b, atol=2e-3)
 
+    @pytest.mark.parametrize("feats", [(8,), (8, 16), (8, 8, 12, 16)])
+    def test_pallas_bwd_merged_passes_all_layer_counts(
+        self, feats, monkeypatch
+    ):
+        """The merged-pass scheduler (round 5: two layers of scalars per
+        pass via cross-moment expansion, ceil(L/2)+1 passes) must match the
+        XLA recompute backward at every layer count — odd L exercises the
+        single-layer tail pass, L=2 the moments-into-final-dW path."""
+        monkeypatch.setattr(satrain_kernel, "_use_pallas_bwd", lambda z1: True)
+        args = _inputs(jax.random.PRNGKey(7), shape=(2, 16, 8, 6), feats=feats)
+        d_pooled = jax.random.normal(jax.random.PRNGKey(8), (2, 16, feats[-1]))
+
+        def run():
+            def loss(*a):
+                pooled, _, _ = grouped_bn_mlp_pool(*a)
+                return jnp.sum(pooled * d_pooled)
+
+            return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+
+        g_pallas = run()
+        monkeypatch.setattr(satrain_kernel, "_use_pallas_bwd", lambda z1: False)
+        g_xla = run()
+        for a, b in zip(jax.tree.leaves(g_pallas[:4]), jax.tree.leaves(g_xla[:4])):
+            np.testing.assert_allclose(a, b, rtol=3e-4, atol=1e-5)
+        for a, b in zip(g_pallas[4], g_xla[4]):  # noise-only (see _is_dense_bias)
+            np.testing.assert_allclose(a, b, atol=2e-3)
+
     def test_pallas_bwd_duplicate_rows_tie_split(self, monkeypatch):
         """Ball-padded duplicate neighbor rows tie bit-exactly; the pooled
         gradient must split evenly across them in both backends."""
