@@ -211,6 +211,41 @@ def mlp_final_max(
 
     mode = _pool_f32_mode() if train else "0"
     cdtype = mdl.dtype or x.dtype
+    if (
+        mode == "keys"
+        and not skip_dense
+        and bn
+        and mdl.bn_axis_name is None  # fused op computes local batch stats
+        and cdtype == jnp.bfloat16  # f32 keys==values: keep the module path
+        and not mdl.is_initializing()
+    ):
+        # Fused final layer (ops/exactpool.dense_bn_exactkey_pool): the
+        # whole Dense→BN→relu→exact-key-pool step as one custom-VJP op —
+        # no f32 [.., K, C] residual crosses the fwd→bwd boundary (the
+        # backward recomputes from the bf16 input; only the pooled keys
+        # are saved) and the last layer's dx/dW matmuls run on a
+        # bf16-rounded cotangent.  Pooled values bit-equal to the module
+        # chain below (parity-tested); params stay owned by the same
+        # dense_{index}/bn_{index} modules (BatchNorm in update_only mode
+        # keeps the running stats).
+        from scanobjectnn_tpu.ops.exactpool import dense_bn_exactkey_pool
+
+        params = mdl.variables["params"]
+        pooled, mean, var = dense_bn_exactkey_pool(
+            x.astype(cdtype),
+            params[f"dense_{index}"]["kernel"],
+            params[f"dense_{index}"]["bias"],
+            params[f"bn_{index}"]["scale"],
+            params[f"bn_{index}"]["bias"],
+            axis,
+        )
+        BatchNorm(
+            dtype=mdl.dtype, axis_name=mdl.bn_axis_name, name=f"bn_{index}"
+        )(
+            mean, use_running_average=False, momentum=bn_momentum,
+            override_stats=(mean, var), update_only=True,
+        )
+        return pooled.astype(cdtype)
     if mode == "keys":
         if skip_dense:
             h32 = (x32 if x32 is not None else x).astype(jnp.float32)

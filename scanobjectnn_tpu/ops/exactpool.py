@@ -29,8 +29,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-__all__ = ["exact_key_max_pool"]
+__all__ = ["exact_key_max_pool", "dense_bn_exactkey_pool"]
 
 
 def _winners(y, key, axis):
@@ -74,3 +75,117 @@ def _ekmp_bwd(axis, res, d_pooled):
 
 
 exact_key_max_pool.defvjp(_ekmp_fwd, _ekmp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Fused final layer: Dense -> BN(train) -> relu -> exact-key max-pool as ONE
+# custom-VJP op (round-4 VERDICT item 5).
+#
+# The module-level "keys" mode (nn.layers.mlp_final_max) pays two hidden
+# f32 costs at [B, M, K, C] scale: (a) the Dense keeps its f32 output as a
+# SAVED residual (plus the f32 key tensor and the winner mask) across the
+# fwd->bwd boundary, and (b) the value chain's cotangent enters the last
+# layer's dx/dW matmuls as an f32 tensor, forcing genuine-f32 MXU passes
+# even though its CONTENT is bf16-rounded (it flowed through the bf16
+# value chain).  This op fixes both: the backward RECOMPUTES the f32 chain
+# from the bf16 inputs (bit-identical — same ops, same dtypes; only the
+# [B, M, C] pooled keys are saved), and rounds the last-layer cotangent to
+# bf16 before the dx/dW matmuls (the repo's gradient-precision convention,
+# cf. onehot._SCATTER_TERMS).
+#
+# Forward semantics replicate mlp_final_max's keys branch EXACTLY (pooled
+# values bit-equal, parity-tested): z32 = x@W + b with bf16 operands and
+# f32 accumulation; BATCH STATS COMPUTED FROM THE bf16-ROUNDED z (that is
+# what the BatchNorm module sees there); the value chain normalizes the
+# rounded z and pools in bf16; the f32 keys normalize the UNROUNDED z32
+# under the same stats and decide winners/ties (stop-gradient).
+# --------------------------------------------------------------------------
+
+_BN_EPS = 1e-3
+
+
+def _dbep_chain(x, w, b, gamma, beta, eps):
+    """Shared forward math; returns every intermediate the bwd reuses."""
+    cdtype = x.dtype
+    z32 = (
+        jnp.einsum(
+            "...i,io->...o", x, w.astype(cdtype),
+            preferred_element_type=jnp.float32,
+        )
+        + b
+    )  # f32 accumulation, bf16 operands (Dense keep_f32_output semantics)
+    zb = z32.astype(cdtype)
+    zbf = zb.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(zbf, axis=axes)
+    mean2 = jnp.mean(jnp.square(zbf), axis=axes)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    r = lax.rsqrt(var + eps)
+    zhat = (zbf - mean) * r
+    u = zhat * gamma + beta
+    y = jnp.maximum(u.astype(cdtype), 0)  # == bf16(relu(u)): relu commutes
+    key = jnp.maximum((z32 - mean) * r * gamma + beta, 0.0)  # f32, unrounded z
+    return z32, zhat, r, mean, var, u, y, key
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def dense_bn_exactkey_pool(x, w, b, gamma, beta, axis: int, eps: float = _BN_EPS):
+    """Fused Dense -> train-mode BN -> relu -> exact-key max-pool.
+
+    x [..., K, C_in] in the compute dtype (bf16); w [C_in, C] f32 kernel;
+    b/gamma/beta f32.  Returns (pooled [..., C] in x.dtype, mean, var) —
+    the batch statistics feed the caller's EMA running-stat update (their
+    cotangents are ignored, TF1 assign semantics).  Pooled values are
+    bit-equal to the unfused keys-mode chain (tested)."""
+    _, _, _, mean, var, _, y, key = _dbep_chain(x, w, b, gamma, beta, eps)
+    pooled, _, _ = _winners(y, key, axis)
+    return pooled, mean, var
+
+
+def _dbep_fwd(x, w, b, gamma, beta, axis, eps):
+    z32, zhat, r, mean, var, u, y, key = _dbep_chain(x, w, b, gamma, beta, eps)
+    pooled, eq, cnt = _winners(y, key, axis)
+    pooled_key = jnp.max(key, axis=axis)
+    # residuals: only the inputs + [..., C]-sized stats/keys — no
+    # [..., K, C] tensor crosses the fwd->bwd boundary.
+    return (pooled, mean, var), (x, w, b, gamma, beta, mean, var, pooled_key)
+
+
+def _dbep_bwd(axis, eps, res, cots):
+    x, w, b, gamma, beta, mean, var, pooled_key = res
+    d_pooled = cots[0].astype(jnp.float32)  # stat cotangents ignored (EMA)
+    cdtype = x.dtype
+    z32, zhat, r, _, _, u, y, key = _dbep_chain(x, w, b, gamma, beta, eps)
+
+    # pool backward: even split across the exact-key winners
+    eq = key == jnp.expand_dims(pooled_key, axis)
+    cnt = jnp.sum(eq.astype(jnp.float32), axis=axis)
+    dy = jnp.where(eq, jnp.expand_dims(d_pooled / cnt, axis), 0.0)
+
+    # relu (value chain) + BN-train backward (batch stats of the ROUNDED z)
+    du = jnp.where(u.astype(cdtype) > 0, dy, 0.0)
+    naxes = tuple(range(x.ndim - 1))
+    n_rows = 1.0
+    for a in naxes:
+        n_rows *= x.shape[a]
+    s1 = jnp.sum(du, axis=naxes)
+    s2 = jnp.sum(du * zhat, axis=naxes)
+    dgamma = s2
+    dbeta = s1
+    dz = r * gamma * (du - s1 / n_rows - zhat * (s2 / n_rows))
+    db = jnp.sum(dz, axis=naxes)
+    # gradient-precision convention: the cotangent's CONTENT came through
+    # the bf16 value chain; round it before the big matmuls so dx/dW run
+    # at bf16 MXU rate (cf. the 2-term scatter gradient convention).
+    dzc = dz.astype(cdtype)
+    dx = jnp.einsum(
+        "...o,io->...i", dzc, w.astype(cdtype),
+        preferred_element_type=jnp.float32,
+    ).astype(cdtype)
+    dw = jnp.einsum(
+        "...i,...o->io", x, dzc, preferred_element_type=jnp.float32
+    )
+    return dx, dw, db, dgamma, dbeta
+
+
+dense_bn_exactkey_pool.defvjp(_dbep_fwd, _dbep_bwd)

@@ -150,3 +150,117 @@ class TestMLPFinalMax:
             vr, x, train=True, bn_momentum=0.8, mutable=["batch_stats"]
         )
         np.testing.assert_array_equal(a, jnp.max(b, axis=1))
+
+
+class TestFusedDenseBnExactkeyPool:
+    """round-5: the fused final layer (dense_bn_exactkey_pool) vs the
+    module chain it replaces in bf16 keys mode."""
+
+    def _module_chain(self, x, w, b, gamma, beta, axis):
+        """The unfused keys-mode math (mlp_final_max's module branch),
+        reproduced functionally so both paths see identical params."""
+        cd = jnp.bfloat16
+        z32 = jnp.einsum(
+            "...i,io->...o", x.astype(cd), w.astype(cd),
+            preferred_element_type=jnp.float32,
+        ) + b
+        zb = z32.astype(cd)
+        zbf = zb.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(zbf, axis=axes)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(zbf), axis=axes) - jnp.square(mean), 0.0
+        )
+        r = jax.lax.rsqrt(var + 1e-3)
+        y = jnp.maximum((((zbf - mean) * r) * gamma + beta).astype(cd), 0)
+        sg = jax.lax.stop_gradient
+        key = jnp.maximum(
+            (sg(z32) - sg(mean)) * jax.lax.rsqrt(sg(var) + 1e-3) * sg(gamma)
+            + sg(beta),
+            0.0,
+        )
+        return exact_key_max_pool(y, key, axis)
+
+    def _args(self):
+        ks = jax.random.split(jax.random.PRNGKey(3), 5)
+        x = jax.random.normal(ks[0], (2, 16, 8, 6), jnp.bfloat16)
+        w = jax.random.normal(ks[1], (6, 16), jnp.float32) * 0.4
+        b = jax.random.normal(ks[2], (16,), jnp.float32) * 0.1
+        gamma = 1.0 + 0.2 * jax.random.normal(ks[3], (16,), jnp.float32)
+        beta = 0.1 * jax.random.normal(ks[4], (16,), jnp.float32)
+        return x, w, b, gamma, beta
+
+    def test_forward_bit_equal_and_stats(self):
+        from scanobjectnn_tpu.ops.exactpool import dense_bn_exactkey_pool
+
+        x, w, b, gamma, beta = self._args()
+        pooled, mean, var = dense_bn_exactkey_pool(x, w, b, gamma, beta, 2)
+        ref = self._module_chain(x, w, b, gamma, beta, 2)
+        assert pooled.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(pooled, np.float32), np.asarray(ref, np.float32)
+        )
+        # stats are the BN batch statistics of the ROUNDED z
+        zb = (jnp.einsum(
+            "...i,io->...o", x, w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) + b).astype(jnp.bfloat16).astype(jnp.float32)
+        np.testing.assert_allclose(
+            mean, jnp.mean(zb, axis=(0, 1, 2)), rtol=1e-6, atol=1e-7
+        )
+
+    def test_gradients_close_to_module_chain(self):
+        """Gradients match the module chain's up to the documented bf16
+        cotangent rounding before the dx/dW matmuls."""
+        from scanobjectnn_tpu.ops.exactpool import dense_bn_exactkey_pool
+
+        x, w, b, gamma, beta = self._args()
+        cot = jax.random.normal(jax.random.PRNGKey(9), (2, 16, 16))
+
+        def lf(args):
+            p, _, _ = dense_bn_exactkey_pool(*args, 2)
+            return jnp.sum(p.astype(jnp.float32) * cot)
+
+        def lr(args):
+            return jnp.sum(
+                self._module_chain(*args, 2).astype(jnp.float32) * cot
+            )
+
+        gf = jax.grad(lf)((x, w, b, gamma, beta))
+        gr = jax.grad(lr)((x, w, b, gamma, beta))
+        names = ("x", "w", "b", "gamma", "beta")
+        for name, a, c in zip(names, gf, gr):
+            if name == "b":
+                # Through train-mode BN the output is invariant to a
+                # constant pre-BN shift, so db ~= 0 analytically.  The
+                # fused backward computes that (f32 sums cancel); the
+                # module chain's autodiff rounds the cotangent to bf16
+                # inside the z32->bf16->f32 convert pair, so ITS db is
+                # bf16 rounding noise (~1e-2) — don't compare to noise,
+                # assert the fused one is the near-zero analytic value.
+                assert np.max(np.abs(np.asarray(a, np.float32))) < 1e-4
+                continue
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                rtol=2e-2, atol=2e-2, err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_groupmlppool_dispatches_fused(self, monkeypatch):
+        """bf16 keys mode must route the final layer through the fused op."""
+        from scanobjectnn_tpu.ops import exactpool as ep
+
+        calls = []
+        real = ep.dense_bn_exactkey_pool
+
+        def spy(*a, **k):
+            calls.append(a[0].dtype)
+            return real(*a, **k)
+
+        monkeypatch.setattr(ep, "dense_bn_exactkey_pool", spy)
+        monkeypatch.setenv("SCANOBJECTNN_SA_POOL_F32", "keys")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8, 6))
+        mdl = GroupMLPPool((8, 12, 16), dtype=jnp.bfloat16)
+        v = mdl.init(jax.random.PRNGKey(1), x, train=False)
+        out, _ = mdl.apply(v, x, train=True, mutable=["batch_stats"])
+        assert calls == [jnp.bfloat16]
+        assert out.dtype == jnp.bfloat16

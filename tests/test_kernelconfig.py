@@ -124,19 +124,29 @@ def test_cli_flags_reach_kernelconfig():
 
 
 def test_bf16_cli_train_dispatches_exactpool(monkeypatch):
-    """`train --dtype bfloat16` must route the SA max-pools through
-    exact_key_max_pool with NO env var — the round-4 verdict's headline
-    complaint was that the validated bf16-collapse fix was invisible."""
+    """`train --dtype bfloat16` must route the SA max-pools through the
+    exact-key pooling machinery with NO env var — the round-4 verdict's
+    headline complaint was that the validated bf16-collapse fix was
+    invisible.  The final Dense→BN→relu→pool layers dispatch the FUSED op
+    (dense_bn_exactkey_pool, round 5); Dense-less final layers
+    (LiftedGroupMLP layer 0) keep the unfused exact_key_max_pool."""
     from scanobjectnn_tpu.ops import exactpool
 
     calls = []
+    fused_calls = []
     real = exactpool.exact_key_max_pool
+    real_fused = exactpool.dense_bn_exactkey_pool
 
     def spy(y, key, axis):
         calls.append((y.dtype, key.dtype))
         return real(y, key, axis)
 
+    def spy_fused(x, *args, **kw):
+        fused_calls.append(x.dtype)
+        return real_fused(x, *args, **kw)
+
     monkeypatch.setattr(exactpool, "exact_key_max_pool", spy)
+    monkeypatch.setattr(exactpool, "dense_bn_exactkey_pool", spy_fused)
 
     trainer = _cli_trainer(["--dtype", "bfloat16"])
     assert kernelconfig.pool_mode() == "keys"
@@ -148,14 +158,21 @@ def test_bf16_cli_train_dispatches_exactpool(monkeypatch):
     }
     state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
-    assert calls, "exact_key_max_pool was not dispatched under bf16 train"
+    assert fused_calls or calls, (
+        "no exact-key pool dispatched under bf16 train"
+    )
+    # SSG's SA stacks all end in a Dense-owning final layer → fused op.
+    assert fused_calls, "fused dense_bn_exactkey_pool was not dispatched"
+    for x_dt in fused_calls:
+        assert x_dt == jnp.bfloat16  # value chain stays in compute dtype
     for y_dt, key_dt in calls:
-        assert y_dt == jnp.bfloat16  # value chain stays in compute dtype
+        assert y_dt == jnp.bfloat16
         assert key_dt == jnp.float32  # f32 keys decide winners/ties
 
-    # The same trainer under f32 must NOT dispatch it.
+    # The same trainer under f32 must NOT dispatch either path.
     calls.clear()
+    fused_calls.clear()
     trainer32 = _cli_trainer([])
     state32 = trainer32.init_state(0)
     trainer32.train_step(state32, batch, jax.random.PRNGKey(0))
-    assert not calls
+    assert not calls and not fused_calls
