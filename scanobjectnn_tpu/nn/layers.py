@@ -222,8 +222,8 @@ def mlp_final_max(
         # Fused final layer (ops/exactpool.dense_bn_exactkey_pool): the
         # whole Dense→BN→relu→exact-key-pool step as one custom-VJP op —
         # no f32 [.., K, C] residual crosses the fwd→bwd boundary (the
-        # backward recomputes from the bf16 input; only the pooled keys
-        # are saved) and the last layer's dx/dW matmuls run on a
+        # backward recomputes from the bf16 input; only the per-channel
+        # batch stats are saved) and the last layer's dx/dW matmuls run on a
         # bf16-rounded cotangent.  Pooled values bit-equal to the module
         # chain below (parity-tested); params stay owned by the same
         # dense_{index}/bn_{index} modules (BatchNorm in update_only mode

@@ -89,7 +89,7 @@ exact_key_max_pool.defvjp(_ekmp_fwd, _ekmp_bwd)
 # even though its CONTENT is bf16-rounded (it flowed through the bf16
 # value chain).  This op fixes both: the backward RECOMPUTES the f32 chain
 # from the bf16 inputs (bit-identical — same ops, same dtypes; only the
-# [B, M, C] pooled keys are saved), and rounds the last-layer cotangent to
+# per-channel batch stats are saved), and rounds the last-layer cotangent to
 # bf16 before the dx/dW matmuls (the repo's gradient-precision convention,
 # cf. onehot._SCATTER_TERMS).
 #
@@ -102,6 +102,65 @@ exact_key_max_pool.defvjp(_ekmp_fwd, _ekmp_bwd)
 # --------------------------------------------------------------------------
 
 _BN_EPS = 1e-3
+
+
+def _poolkey_ok(z_shape, axis, eps) -> bool:
+    """Opt-in experiment switch (SCANOBJECTNN_POOLKEY=1) for the fused
+    Pallas keys-mode forward (poolkey_kernel) — measured NEGATIVE on v5e
+    and parity-broken by engine precision, so it ships DEFAULT OFF:
+
+    * slower: ssg B16 N1024 loss+grad 6.99 ms vs 5.35 XLA chain (the
+      kernel's fwd-only overhead, 1.67 ms over plain bf16, exceeds the XLA
+      chain's ENTIRE fwd+bwd overhead of 1.26) — the Mosaic elementwise-
+      rate deficit the satrain kernels documented, reconfirmed on a
+      minimal elementwise+reduce program;
+    * on-chip pooled values differ from the XLA chain on ~26% of elements
+      (1 bf16 ulp): Mosaic's rsqrt/FMA contraction differs from XLA TPU's
+      at ~1e-4 relative, shifting bf16 roundings — gradients stay
+      bit-equal (the backward recomputes its own winner mask), and
+      interpret-mode parity is exact (tests), but the production bit-
+      parity contract fails on hardware.
+
+    Full account: SYNTH_HARD.md round-5 section."""
+    import os
+
+    if os.environ.get("SCANOBJECTNN_POOLKEY", "0") != "1":
+        return False
+    if eps != _BN_EPS:
+        return False
+    from scanobjectnn_tpu.ops.fps import _use_pallas
+    from scanobjectnn_tpu.ops.pallas.poolkey_kernel import poolkey_eligible
+
+    return _use_pallas() and poolkey_eligible(z_shape, axis)
+
+
+def _fused_forward(x, w, b, gamma, beta, eps):
+    """z32 + batch stats in XLA, then ONE Pallas pass for both elementwise
+    chains + the tie-split pool (values bit-equal to _dbep_chain — the
+    kernel replicates its op order exactly).  Returns (pooled, mean, var,
+    pooled_key)."""
+    from scanobjectnn_tpu.ops.pallas.onehot import _interpret
+    from scanobjectnn_tpu.ops.pallas.poolkey_kernel import (
+        bn_relu_exactkey_pool,
+    )
+
+    cdtype = x.dtype
+    z32 = (
+        jnp.einsum(
+            "...i,io->...o", x, w.astype(cdtype),
+            preferred_element_type=jnp.float32,
+        )
+        + b
+    )
+    zbf = z32.astype(cdtype).astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(zbf, axis=axes)
+    mean2 = jnp.mean(jnp.square(zbf), axis=axes)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    pooled, kmax, _ = bn_relu_exactkey_pool(
+        z32, gamma, beta, mean, var, cdtype, _interpret()
+    )
+    return pooled, mean, var, kmax
 
 
 def _dbep_chain(x, w, b, gamma, beta, eps):
@@ -136,28 +195,51 @@ def dense_bn_exactkey_pool(x, w, b, gamma, beta, axis: int, eps: float = _BN_EPS
     b/gamma/beta f32.  Returns (pooled [..., C] in x.dtype, mean, var) —
     the batch statistics feed the caller's EMA running-stat update (their
     cotangents are ignored, TF1 assign semantics).  Pooled values are
-    bit-equal to the unfused keys-mode chain (tested)."""
+    bit-equal to the unfused keys-mode chain (tested).
+
+    Forward dispatch: on the Pallas backend the elementwise chains + pool
+    run as ONE VMEM pass over z32 (ops/pallas/poolkey_kernel.py — one f32
+    read instead of XLA's value/key/eq-mask passes); bit-exact, so the
+    dispatch is a pure-speed choice (SCANOBJECTNN_POOLKEY=0 probes the
+    XLA chain)."""
+    z_shape = x.shape[:-1] + (w.shape[-1],)
+    if _poolkey_ok(z_shape, axis, eps):
+        pooled, mean, var, _ = _fused_forward(x, w, b, gamma, beta, eps)
+        return pooled, mean, var
     _, _, _, mean, var, _, y, key = _dbep_chain(x, w, b, gamma, beta, eps)
     pooled, _, _ = _winners(y, key, axis)
     return pooled, mean, var
 
 
 def _dbep_fwd(x, w, b, gamma, beta, axis, eps):
+    z_shape = x.shape[:-1] + (w.shape[-1],)
+    if _poolkey_ok(z_shape, axis, eps):
+        pooled, mean, var, _ = _fused_forward(x, w, b, gamma, beta, eps)
+        return (pooled, mean, var), (x, w, b, gamma, beta, mean, var)
     z32, zhat, r, mean, var, u, y, key = _dbep_chain(x, w, b, gamma, beta, eps)
     pooled, eq, cnt = _winners(y, key, axis)
-    pooled_key = jnp.max(key, axis=axis)
-    # residuals: only the inputs + [..., C]-sized stats/keys — no
-    # [..., K, C] tensor crosses the fwd->bwd boundary.
-    return (pooled, mean, var), (x, w, b, gamma, beta, mean, var, pooled_key)
+    # residuals: only the inputs + [..., C]-sized stats — no [..., K, C]
+    # tensor crosses the fwd->bwd boundary.  The winner mask is recomputed
+    # in the backward FROM ITS OWN recomputed keys (not a saved pooled_key):
+    # the fused Pallas forward's keys can differ from the XLA recompute by
+    # 1 ulp (XLA fuses the affine chain into FMAs; Mosaic rounds the
+    # product), and a cross-engine key/kmax compare would shatter the eq
+    # mask.  Self-consistent recompute makes the backward IDENTICAL across
+    # dispatch paths (kernel-path gradients are bit-equal to XLA-path
+    # gradients by construction).
+    return (pooled, mean, var), (x, w, b, gamma, beta, mean, var)
 
 
 def _dbep_bwd(axis, eps, res, cots):
-    x, w, b, gamma, beta, mean, var, pooled_key = res
+    x, w, b, gamma, beta, mean, var = res
     d_pooled = cots[0].astype(jnp.float32)  # stat cotangents ignored (EMA)
     cdtype = x.dtype
     z32, zhat, r, _, _, u, y, key = _dbep_chain(x, w, b, gamma, beta, eps)
 
-    # pool backward: even split across the exact-key winners
+    # pool backward: even split across the exact-key winners.  kmax comes
+    # from THIS recompute's keys (see _dbep_fwd's residual note) so the
+    # mask is self-consistent regardless of which engine ran the forward.
+    pooled_key = jnp.max(key, axis=axis)
     eq = key == jnp.expand_dims(pooled_key, axis)
     cnt = jnp.sum(eq.astype(jnp.float32), axis=axis)
     dy = jnp.where(eq, jnp.expand_dims(d_pooled / cnt, axis), 0.0)

@@ -63,8 +63,20 @@ def time_train_step(name: str, batch_size: int, dtype: str, pool: str,
     key = jax.random.PRNGKey(0)
 
     def step(b):
-        _, metrics = trainer._train_step_impl(state, b, key)
-        return metrics["loss"][None]
+        new_state, metrics = trainer._train_step_impl(state, b, key)
+        # The chained output MUST consume the whole updated state: returning
+        # only the loss lets XLA dead-code-eliminate the backward, optimizer
+        # and BN-stat updates (the loss depends on the forward alone), which
+        # silently turns this into a forward-only timing.  Summing the new
+        # params (each of which depends on its gradient through the adam
+        # update) and batch_stats pins the full step in the program.
+        pins = sum(
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree_util.tree_leaves(
+                (new_state.params, new_state.batch_stats)
+            )
+        )
+        return metrics["loss"][None] + pins * jnp.float32(1e-20)
 
     tag = f"{name} B{batch_size} {dtype}" + (f" pool={pool}" if pool != "native" else "")
     return timed_ms(step, batch, lo=20, hi=100, name=tag)

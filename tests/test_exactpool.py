@@ -245,6 +245,65 @@ class TestFusedDenseBnExactkeyPool:
                 rtol=2e-2, atol=2e-2, err_msg=f"grad mismatch for {name}",
             )
 
+    def test_poolkey_kernel_bit_parity(self, monkeypatch):
+        """round-5: the Pallas fused forward (poolkey_kernel) must be
+        BIT-equal to the XLA chain — outputs AND gradients — since its
+        dispatch is a pure-speed choice."""
+        from scanobjectnn_tpu.ops.exactpool import dense_bn_exactkey_pool
+
+        # lane-aligned channel width (the kernel's eligibility) — the tiny
+        # fixture shapes above stay on the XLA chain by design.
+        ks = jax.random.split(jax.random.PRNGKey(11), 5)
+        x = jax.random.normal(ks[0], (2, 4, 8, 6), jnp.bfloat16)
+        w = jax.random.normal(ks[1], (6, 128), jnp.float32) * 0.4
+        b = jax.random.normal(ks[2], (128,), jnp.float32) * 0.1
+        gamma = 1.0 + 0.2 * jax.random.normal(ks[3], (128,), jnp.float32)
+        beta = 0.1 * jax.random.normal(ks[4], (128,), jnp.float32)
+        cot = jax.random.normal(jax.random.PRNGKey(7), (2, 4, 128))
+
+        def run(args):
+            def lf(a):
+                p, m, v = dense_bn_exactkey_pool(*a, 2)
+                return (
+                    jnp.sum(p.astype(jnp.float32) * cot)
+                    + jnp.sum(m) * 0.1 + jnp.sum(v) * 0.1
+                )
+
+            (p, m, v) = dense_bn_exactkey_pool(*args, 2)
+            g = jax.grad(lf)(args)
+            return p, m, v, g
+
+        monkeypatch.setenv("SCANOBJECTNN_POOLKEY", "0")
+        p0, m0, v0, g0 = run((x, w, b, gamma, beta))
+        monkeypatch.setenv("SCANOBJECTNN_POOLKEY", "1")
+        monkeypatch.setenv("SCANOBJECTNN_OPS_BACKEND", "pallas")
+        from scanobjectnn_tpu.ops import exactpool as ep
+
+        assert ep._poolkey_ok(x.shape[:-1] + (128,), 2, 1e-3)
+        p1, m1, v1, g1 = run((x, w, b, gamma, beta))
+        np.testing.assert_array_equal(
+            np.asarray(p0, np.float32), np.asarray(p1, np.float32)
+        )
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        for a, c in zip(g0, g1):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(c, np.float32)
+            )
+
+    def test_poolkey_eligibility(self):
+        from scanobjectnn_tpu.ops.pallas.poolkey_kernel import (
+            poolkey_eligible,
+        )
+
+        assert poolkey_eligible((16, 512, 32, 128), 2)   # SA1
+        assert poolkey_eligible((16, 128, 64, 256), 2)   # SA2
+        assert poolkey_eligible((16, 1, 128, 1024), 2)   # SA3 group_all
+        assert not poolkey_eligible((16, 512, 32, 64), 2)   # C < 128 (MSG s1)
+        assert not poolkey_eligible((16, 512, 32, 128), 1)  # wrong axis
+        # global-pool heads: K*C rows exceed the block budget — XLA chain
+        assert not poolkey_eligible((24, 1024, 1024), 1)
+
     def test_groupmlppool_dispatches_fused(self, monkeypatch):
         """bf16 keys mode must route the final layer through the fused op."""
         from scanobjectnn_tpu.ops import exactpool as ep
