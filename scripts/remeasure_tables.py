@@ -182,7 +182,7 @@ def part_b():
         (f,) = args
 
         def loss(ff):
-            out = edge_reduce(ff, 20)
+            out = edge_reduce(ff, ff, 20)
             return sum(jnp.sum(o.astype(jnp.float32)) for o in
                        jax.tree_util.tree_leaves(out))
 
