@@ -84,7 +84,17 @@ def _fps_kernel(xyz_ref, *refs, npoint: int, with_coords: bool):
         d = (x - x0) ** 2 + (y - y0) ** 2 + (z - z0) ** 2
         mind = jnp.minimum(mind_ref[:, :], d)
         mind_ref[:, :] = mind
-        best = jnp.argmax(mind, axis=1).astype(jnp.int32)  # [B]
+        # Manual two-reduce argmax: row max, then the LOWEST column index
+        # attaining it — the same first-occurrence tie rule as jnp.argmax
+        # (and the CUDA kernel's serial scan, tf_sampling_g.cu:130-160),
+        # but 2.4x cheaper than Mosaic's argmax lowering (measured round 5:
+        # the argmax marginal drops 0.83 -> 0.34 us/round at B=128 N=2048,
+        # the whole round 3.04 -> 2.65 us; scripts/probe_fps_safused.py
+        # FPS_MODES=manargmax).
+        m = jnp.max(mind, axis=1, keepdims=True)  # [B, 1]
+        best = jnp.min(jnp.where(mind == m, col, n), axis=1).astype(
+            jnp.int32
+        )  # [B]
         idx_t_ref[pl.ds(j, 1), :] = best[None, :]
         onehot = (col == best[:, None]).astype(jnp.float32)
         nx = jnp.sum(x * onehot, axis=1, keepdims=True)

@@ -712,9 +712,19 @@ def probe_fps():
                     # No argmax/extraction: next "selection" is a running
                     # constant — measures the d+min VPU passes alone.
                     return (x0 + 1e-6, y0, z0)
-                best = jnp.argmax(mind, axis=1).astype(jnp.int32)
+                if mode in ("manargmax", "mannoext"):
+                    # Manual two-reduce argmax: max, then lowest index where
+                    # the max is attained (same first-occurrence tie rule) —
+                    # probes whether jnp.argmax's Mosaic lowering leaves
+                    # passes on the table.
+                    m = jnp.max(mind, axis=1, keepdims=True)
+                    best = jnp.min(
+                        jnp.where(mind == m, col, n), axis=1
+                    ).astype(jnp.int32)
+                else:
+                    best = jnp.argmax(mind, axis=1).astype(jnp.int32)
                 idx_t_ref[pl.ds(j, 1), :] = best[None, :]
-                if mode == "noext":
+                if mode in ("noext", "mannoext"):
                     # Argmax but no one-hot coordinate extraction.
                     bf = best.astype(jnp.float32)[:, None]
                     return (x0 + 1e-9 * bf, y0, z0)
@@ -754,7 +764,10 @@ def probe_fps():
         return run
 
     print("--- FPS cripple terms (npoint curve per mode, no coords out) ---")
-    for mode in ("donly", "noext", "fullstep"):
+    fps_modes = ("donly", "noext", "fullstep")
+    if os.environ.get("FPS_MODES"):
+        fps_modes = tuple(os.environ["FPS_MODES"].split(","))
+    for mode in fps_modes:
         prev = None
         for npoint in (64, 512):
             t = timed(f"fps cripple [{mode}] npoint={npoint}", mk(mode, npoint), pts)
