@@ -112,6 +112,12 @@ def _fwd_kernel(feats_ref, vals_ref, mmax_ref, mmin_ref, s_ref, q2_ref,
     cmin = [jnp.zeros((tile, cv), jnp.float32) for _ in range(grp)]
     for r in range(k):
         for g in range(grp):
+            # NOTE round 5: the manual two-reduce argmin (knn_kernel.
+            # argmin_rows) measured a slight REGRESSION here (edge_reduce
+            # fwd+bwd 4.95 -> 5.05 ms) — the grp-interleave already hides
+            # the argmin latency, so the extra reduce pass only adds work.
+            # jnp.argmin stays.  (knn_kernel's non-interleaved rounds win
+            # 2.6x from the same swap.)
             am = jnp.argmin(d2s[g], axis=1).astype(jnp.int32)  # [T]
             onehot = cols[g] == am[:, None]
             gat = _split_matmul(onehot.astype(jnp.bfloat16), packed_vals, cv)

@@ -29,6 +29,22 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["knn_graph_pallas"]
 
 
+def argmin_rows(d2, cols):
+    """Manual two-reduce row argmin: row min, then the LOWEST column index
+    attaining it — the same first-occurrence tie rule as jnp.argmin, but
+    measurably cheaper than Mosaic's argmin lowering (the FPS analog cut
+    the argmax marginal 0.83 -> 0.34 us/round at [128, 2048]; see
+    docs/KERNELS.md round-5 FPS revision).  ``cols`` is the int32 column
+    iota of d2's shape."""
+    m = jnp.min(d2, axis=1, keepdims=True)
+    return (
+        jnp.min(jnp.where(d2 == m, cols, d2.shape[1]), axis=1).astype(
+            jnp.int32
+        ),
+        m,
+    )
+
+
 def _knn_kernel(feats_ref, idx_ref, *, k: int, tile: int, grp: int):
     # feats_ref: [1, N, C] (whole cloud); idx_ref: [1, grp*T, k].  ``grp``
     # independent query tiles are processed with their k argmin rounds
@@ -54,7 +70,7 @@ def _knn_kernel(feats_ref, idx_ref, *, k: int, tile: int, grp: int):
     outs = [[] for _ in range(grp)]
     for _ in range(k):
         for g in range(grp):
-            am = jnp.argmin(d2s[g], axis=1).astype(jnp.int32)  # [T]
+            am, _ = argmin_rows(d2s[g], cols[g])  # [T]
             outs[g].append(am)
             d2s[g] = jnp.where(cols[g] == am[:, None], jnp.inf, d2s[g])
     for g in range(grp):
@@ -166,8 +182,8 @@ def _knn_general_kernel(q_ref, keys_ref, bias_ref, dist_ref, idx_ref, *,
     dist_cols = [[] for _ in range(grp)]
     for _ in range(k):
         for g in range(grp):
-            am = jnp.argmin(d2s[g], axis=1).astype(jnp.int32)  # [T]
-            dist_cols[g].append(jnp.min(d2s[g], axis=1))
+            am, m = argmin_rows(d2s[g], cols[g])  # [T], [T, 1]
+            dist_cols[g].append(m[:, 0])
             idx_cols[g].append(am)
             d2s[g] = jnp.where(cols[g] == am[:, None], jnp.inf, d2s[g])
     for g in range(grp):
